@@ -1,0 +1,184 @@
+"""Configuration system for the TPU-native Robust-NeRF framework.
+
+Behavioral parity with the reference dataclasses (reference:
+noisy_src/config.py:10-125) plus TPU-specific knobs (compute dtype,
+mesh/sharding, tile sizes, scan-batched stepping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """NeRF MLP architecture (reference: noisy_src/config.py:10-24)."""
+
+    pos_freqs: int = 10        # L for position encoding
+    dir_freqs: int = 4         # L for direction encoding
+    hidden_dim: int = 256
+    num_hidden_layers: int = 8
+    skips: Tuple[int, ...] = (4,)   # trunk layers followed by a skip-concat
+    use_view_dirs: bool = True
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Volume rendering (reference: noisy_src/config.py:27-43)."""
+
+    near: float = 2.0
+    far: float = 6.0
+    num_samples: int = 64          # coarse samples/ray
+    num_samples_fine: int = 128    # extra fine samples/ray (hierarchical)
+    use_hierarchical: bool = True
+    perturb: bool = True           # stratified jitter during training
+    raw_noise_std: float = 0.0     # density noise during training
+    white_background: bool = True
+
+
+@dataclass
+class DataConfig:
+    """Data loading (reference: noisy_src/config.py:46-56)."""
+
+    scene_name: str = "lego"
+    data_root: Optional[Path] = None
+    img_scale: float = 0.5
+    batch_size: int = 1024         # rays per optimizer step
+    shuffle: bool = True
+    # TPU extras: "blender" reads transforms_*.json from disk; "synthetic"
+    # procedurally generates an analytic scene (no dataset required).
+    source: str = "blender"
+    synthetic_num_train: int = 20
+    synthetic_num_val: int = 5
+    synthetic_resolution: int = 64
+
+
+@dataclass
+class TrainConfig:
+    """Training schedule (reference: noisy_src/config.py:59-83)."""
+
+    lr: float = 5e-4
+    lr_decay: int = 250            # exponential decay over lr_decay*1000 iters
+    num_iterations: int = 200_000
+    log_every: int = 100
+    save_every: int = 10_000
+    val_every: int = 5_000
+    output_dir: Path = field(default_factory=lambda: Path("outputs"))
+    experiment_name: str = "baseline"
+    device: str = "tpu"            # accepted for CLI parity; JAX picks backend
+    seed: int = 42
+    grad_clip: float = 1.0
+    resume: Optional[Path] = None  # wired, unlike the reference (train.py:289-304)
+
+
+@dataclass
+class PoseOptConfig:
+    """Camera pose optimization (reference: noisy_src/config.py:86-107)."""
+
+    enabled: bool = True
+    learn_rotation: bool = True
+    learn_translation: bool = True
+    pose_lr: float = 1e-4
+    pose_opt_delay: int = 1000
+    init_mode: str = "noisy"       # "clean" | "noisy"
+    rotation_noise_deg: float = 0.0
+    translation_noise_pct: float = 0.0
+    noise_seed: Optional[int] = None
+    pose_grad_clip: float = 0.1
+    rotation_reg_weight: float = 0.01
+    translation_reg_weight: float = 0.001
+
+
+@dataclass(frozen=True)
+class TPUConfig:
+    """TPU execution knobs — no reference counterpart (it is single-GPU)."""
+
+    # Compute dtype for the MLP matmuls ("bfloat16" rides the MXU at 2x;
+    # "float32" is the numerical-parity mode). Params stay float32 either way.
+    compute_dtype: str = "float32"
+    # Fixed ray-tile size for full-frame rendering (lax.map over tiles
+    # replaces the reference's Python chunk loop, rendering.py:299-322).
+    eval_tile: int = 4096
+    # Train steps fused into one lax.scan dispatch (metrics still come back
+    # one row per iteration, matching the reference CSV cadence).
+    steps_per_scan: int = 100
+    # Data-parallel mesh axis size; 0 = use all visible devices.
+    num_devices: int = 0
+    # Use the fused Pallas posenc+MLP kernel where available.
+    use_pallas: bool = False
+    remat: bool = True             # rematerialize MLP activations in backward
+
+
+@dataclass
+class NeRFConfig:
+    """Aggregate config (reference: noisy_src/config.py:110-125)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    pose_opt: Optional[PoseOptConfig] = None
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+
+    def __post_init__(self):
+        if isinstance(self.train.output_dir, str):
+            self.train.output_dir = Path(self.train.output_dir)
+        if isinstance(self.data.data_root, str):
+            self.data.data_root = Path(self.data.data_root)
+        if isinstance(self.train.resume, str):
+            self.train.resume = Path(self.train.resume)
+
+
+def config_to_dict(cfg) -> dict:
+    """Recursively convert a (possibly nested) config dataclass to a dict."""
+    if dataclasses.is_dataclass(cfg):
+        return {k: config_to_dict(v) for k, v in dataclasses.asdict(cfg).items()}
+    if isinstance(cfg, dict):
+        return {k: config_to_dict(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        return [config_to_dict(v) for v in cfg]
+    if isinstance(cfg, Path):
+        return str(cfg)
+    return cfg
+
+
+def config_to_json(cfg) -> str:
+    return json.dumps(config_to_dict(cfg), indent=2)
+
+
+def _build(dc_type, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(dc_type)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        ftype = fields[k].type
+        if v is None:
+            kwargs[k] = None
+        elif ftype in ("ModelConfig",) or k == "model":
+            kwargs[k] = _build(ModelConfig, v)
+        elif k == "render":
+            kwargs[k] = _build(RenderConfig, v)
+        elif k == "data":
+            kwargs[k] = _build(DataConfig, v)
+        elif k == "train":
+            kwargs[k] = _build(TrainConfig, v)
+        elif k == "pose_opt":
+            kwargs[k] = _build(PoseOptConfig, v)
+        elif k == "tpu":
+            kwargs[k] = _build(TPUConfig, v)
+        elif k == "skips" and isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return dc_type(**kwargs)
+
+
+def config_from_dict(d: dict) -> NeRFConfig:
+    """Rebuild a NeRFConfig from a dict (for checkpoint restore; reference
+    rebuilds configs from the checkpoint dict in inference.py:49-72)."""
+    return _build(NeRFConfig, d)

@@ -1,0 +1,130 @@
+"""SE(3) / SO(3) math — vectorized, differentiable, jit-safe.
+
+Replaces the reference's CameraPoseParameters nn.Module math
+(noisy_src/train_pose_opt.py:122-271) with pure functions over (N, 3)
+axis-angle and translation delta arrays. The small-angle branch is a
+`where` select (no data-dependent control flow), so the whole exp-map is
+one fused XLA program and its gradient is finite at theta = 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SMALL_ANGLE = 1e-6
+
+
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrices from vectors, (..., 3) -> (..., 3, 3).
+
+    Reference semantics: noisy_src/train_pose_opt.py:165-184.
+    """
+    zeros = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], zeros, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def exp_so3(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) exponential map via Rodrigues' formula, (..., 3) -> (..., 3, 3).
+
+    Reference semantics: noisy_src/train_pose_opt.py:122-163, but the
+    small-angle case uses the exact Taylor coefficients sin(t)/t and
+    (1-cos t)/t^2 instead of snapping to identity, so gradients through
+    zero rotation (the pose-opt initialization!) are correct.
+    """
+    theta2 = jnp.sum(axis_angle * axis_angle, axis=-1)
+    # Clamped theta in BOTH branches: `where` evaluates (and differentiates)
+    # the untaken branch, so an unclamped 1/theta2 at theta=0 would emit
+    # inf whose backward is 0*inf = NaN — exactly at the pose-opt init.
+    theta2_safe = jnp.maximum(theta2, _SMALL_ANGLE**2)
+    theta = jnp.sqrt(theta2_safe)
+    small = theta2 < _SMALL_ANGLE**2
+
+    # sin(t)/t and (1-cos t)/t^2, Taylor-guarded for t -> 0.
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+
+    K = skew(axis_angle)   # = theta * skew(axis)
+    K2 = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * K2
+
+
+def log_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) log map, (..., 3, 3) -> (..., 3) axis-angle (|angle| <= pi)."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    # Off-diagonal antisymmetric part gives axis * 2 sin(theta).
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_theta = jnp.sin(theta)
+    scale = jnp.where(
+        sin_theta < _SMALL_ANGLE, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_theta)
+    )
+    return w * scale[..., None]
+
+
+def apply_pose_deltas(
+    initial_poses: jnp.ndarray,      # (N, 4, 4)
+    rotation_deltas: jnp.ndarray,    # (N, 3) axis-angle
+    translation_deltas: jnp.ndarray, # (N, 3)
+) -> jnp.ndarray:
+    """Compose learned SE(3) deltas onto initial camera-to-world poses.
+
+    R_opt = exp(omega) @ R_init ; t_opt = t_init + dt — the reference's
+    left/world-frame convention (noisy_src/train_pose_opt.py:186-226).
+    """
+    R_delta = exp_so3(rotation_deltas)                      # (N, 3, 3)
+    R_new = jnp.einsum("nij,njk->nik", R_delta, initial_poses[:, :3, :3])
+    t_new = initial_poses[:, :3, 3] + translation_deltas
+    poses = jnp.broadcast_to(
+        jnp.eye(4, dtype=initial_poses.dtype), initial_poses.shape
+    )
+    poses = poses.at[:, :3, :3].set(R_new)
+    poses = poses.at[:, :3, 3].set(t_new)
+    return poses
+
+
+def rotation_geodesic_error_deg(R_a: jnp.ndarray, R_b: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic angle between rotation matrices, in degrees, batched.
+
+    Reference semantics: noisy_src/noise.py:237-258 — arccos((tr(Ra^T Rb)-1)/2).
+    """
+    R_diff = jnp.einsum("...ji,...jk->...ik", R_a, R_b)  # Ra^T @ Rb
+    trace = R_diff[..., 0, 0] + R_diff[..., 1, 1] + R_diff[..., 2, 2]
+    angle = jnp.arccos(jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0))
+    return angle * (180.0 / jnp.pi)
+
+
+def pose_errors(poses_a: jnp.ndarray, poses_b: jnp.ndarray) -> dict:
+    """Per-pose rotation (deg) and translation (Euclidean) errors + stats.
+
+    Vectorized replacement for the reference's per-pose Python loop
+    (noisy_src/train_pose_opt.py:232-271).
+    """
+    rot_err = rotation_geodesic_error_deg(poses_a[:, :3, :3], poses_b[:, :3, :3])
+    trans_err = jnp.linalg.norm(poses_a[:, :3, 3] - poses_b[:, :3, 3], axis=-1)
+    return {
+        "rotation_errors_deg": rot_err,
+        "translation_errors": trans_err,
+        "mean_rotation_error_deg": jnp.mean(rot_err),
+        "max_rotation_error_deg": jnp.max(rot_err),
+        "std_rotation_error_deg": jnp.std(rot_err),
+        "mean_translation_error": jnp.mean(trans_err),
+        "max_translation_error": jnp.max(trans_err),
+        "std_translation_error": jnp.std(trans_err),
+    }

@@ -1,0 +1,164 @@
+"""Procedural analytic scene — dataset-free ground truth for tests/benches.
+
+The reference assumes the NeRF-synthetic dataset on disk. This module
+generates an equivalent SceneData by *exactly* volume-rendering an analytic
+radiance field (a handful of colored Gaussian density blobs) with dense
+deterministic sampling through the same raw2outputs compositor the models
+train against. Because the GT comes from the true volume-rendering
+equation, a NeRF trained on these images converges toward it and pose
+optimization has a well-defined optimum — so convergence and pose-recovery
+tests run hermetically on any backend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .blender import SceneData
+from ..core.rays import get_ray_directions, get_rays
+
+# Blob layout: centers inside the unit ball, camera ring at radius 4 —
+# consistent with the reference lego defaults near=2 / far=6.
+_BLOB_CENTERS = np.array(
+    [
+        [0.0, 0.0, 0.0],
+        [0.7, 0.0, 0.2],
+        [-0.5, 0.5, -0.3],
+        [0.0, -0.7, 0.4],
+        [-0.3, -0.3, -0.5],
+    ],
+    dtype=np.float32,
+)
+_BLOB_RADII = np.array([0.45, 0.25, 0.3, 0.22, 0.28], dtype=np.float32)
+_BLOB_DENSITY = np.array([18.0, 22.0, 20.0, 25.0, 21.0], dtype=np.float32)
+_BLOB_COLORS = np.array(
+    [
+        [0.9, 0.2, 0.2],
+        [0.2, 0.8, 0.3],
+        [0.25, 0.35, 0.95],
+        [0.95, 0.85, 0.2],
+        [0.8, 0.3, 0.9],
+    ],
+    dtype=np.float32,
+)
+
+
+def analytic_field(pts: jnp.ndarray):
+    """Density + color of the analytic scene at world points (..., 3).
+
+    Returns (rgb (..., 3), sigma (...,)). Smooth (Gaussian blobs), so a
+    coarse MLP can fit it in a few hundred steps.
+    """
+    centers = jnp.asarray(_BLOB_CENTERS)
+    radii = jnp.asarray(_BLOB_RADII)
+    dens = jnp.asarray(_BLOB_DENSITY)
+    colors = jnp.asarray(_BLOB_COLORS)
+
+    d2 = jnp.sum((pts[..., None, :] - centers) ** 2, axis=-1)  # (..., K)
+    blob_sigma = dens * jnp.exp(-0.5 * d2 / (radii**2))        # (..., K)
+    sigma = jnp.sum(blob_sigma, axis=-1)
+    w = blob_sigma / (jnp.sum(blob_sigma, axis=-1, keepdims=True) + 1e-8)
+    rgb = jnp.einsum("...k,kc->...c", w, colors)
+    return rgb, sigma
+
+
+def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
+    """Blender-style camera-to-world on a sphere looking at the origin
+    (OpenGL convention: camera looks down its -Z)."""
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+    # Start at (0, 0, radius) looking down -Z toward the origin, then rotate.
+    trans = np.eye(4, dtype=np.float32)
+    trans[2, 3] = radius
+    rot_phi = np.eye(4, dtype=np.float32)
+    rot_phi[1, 1] = np.cos(phi)
+    rot_phi[1, 2] = -np.sin(phi)
+    rot_phi[2, 1] = np.sin(phi)
+    rot_phi[2, 2] = np.cos(phi)
+    rot_theta = np.eye(4, dtype=np.float32)
+    rot_theta[0, 0] = np.cos(theta)
+    rot_theta[0, 2] = np.sin(theta)
+    rot_theta[2, 0] = -np.sin(theta)
+    rot_theta[2, 2] = np.cos(theta)
+    return rot_theta @ rot_phi @ trans
+
+
+@partial(jax.jit, static_argnames=("H", "W", "num_samples", "white_background"))
+def _render_gt_image(
+    pose, H: int, W: int, focal: float,
+    near: float, far: float, num_samples: int, white_background: bool,
+):
+    from ..ops.rendering import raw2outputs
+
+    directions = get_ray_directions(H, W, focal)
+    rays_o, rays_d = get_rays(directions, jnp.asarray(pose))
+    t = jnp.linspace(0.0, 1.0, num_samples)
+    z_vals = near * (1.0 - t) + far * t
+    z_vals = jnp.broadcast_to(z_vals, (H, W, num_samples))
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
+    rgb, sigma = analytic_field(pts)
+    out = raw2outputs(
+        rgb, sigma, z_vals, rays_d, white_background=white_background
+    )
+    return out["rgb_map"]
+
+
+def make_synthetic_scene(
+    num_images: int = 20,
+    resolution: int = 64,
+    split: str = "train",
+    radius: float = 4.0,
+    num_samples: int = 256,
+    white_background: bool = True,
+) -> SceneData:
+    """Generate a SceneData with exactly-rendered GT images.
+
+    Splits use disjoint, deterministic camera angles so train/val don't
+    alias. focal is chosen for a ~40 degree horizontal FOV.
+    """
+    H = W = resolution
+    focal = 0.5 * W / np.tan(0.5 * np.deg2rad(40.0))
+
+    offset = {"train": 0.0, "val": 7.0, "test": 13.0}.get(split, 0.0)
+    thetas = np.linspace(0.0, 360.0, num_images, endpoint=False) + offset
+    phis = -30.0 + 12.0 * np.sin(np.linspace(0.0, 2 * np.pi, num_images, endpoint=False) + offset)
+
+    poses = np.stack(
+        [pose_spherical(t, p, radius) for t, p in zip(thetas, phis)], axis=0
+    )
+    images = []
+    for pose in poses:
+        img = _render_gt_image(
+            pose, H, W, float(focal), 2.0, 6.0, num_samples, white_background
+        )
+        images.append(np.asarray(img, dtype=np.float32))
+    return SceneData(
+        images=np.clip(np.stack(images, axis=0), 0.0, 1.0),
+        poses=poses.astype(np.float32),
+        H=H,
+        W=W,
+        focal=float(focal),
+    )
+
+
+def load_scene(data_cfg, split: str) -> SceneData:
+    """Dispatch between on-disk Blender data and the procedural scene."""
+    if data_cfg.source == "synthetic":
+        num = (
+            data_cfg.synthetic_num_train
+            if split == "train"
+            else data_cfg.synthetic_num_val
+        )
+        return make_synthetic_scene(
+            num_images=num, resolution=data_cfg.synthetic_resolution, split=split
+        )
+    from .blender import load_blender_data
+
+    root = data_cfg.data_root if data_cfg.data_root is not None else "data/raw"
+    return load_blender_data(
+        root, data_cfg.scene_name, split=split, img_scale=data_cfg.img_scale
+    )

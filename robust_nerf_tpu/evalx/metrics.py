@@ -1,0 +1,147 @@
+"""Image quality metrics — PSNR / MSE / windowed SSIM (+ gated LPIPS).
+
+Numerical parity with the reference (noisy_src/metrics.py:15-204): PSNR as
+-10*log10(MSE) against max_val=1, real windowed SSIM with an 11x11 Gaussian
+(sigma 1.5) depthwise convolution and C1=0.01^2 / C2=0.03^2. LPIPS follows
+the reference's lazy-availability pattern (metrics.py:119-168): it needs the
+`lpips` package + pretrained VGG weights, which this environment cannot
+download, so `available` is False and callers degrade gracefully.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def compute_psnr(
+    pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0
+) -> jnp.ndarray:
+    """PSNR in dB (reference: noisy_src/metrics.py:15-40)."""
+    mse = compute_mse(pred, target)
+    return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def psnr_from_mse(mse: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def _gaussian_window(size: int, sigma: float = 1.5) -> jnp.ndarray:
+    coords = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(coords**2) / (2.0 * sigma**2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def compute_ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window_size: int = 11,
+    C1: float = 0.01**2,
+    C2: float = 0.03**2,
+) -> jnp.ndarray:
+    """Windowed SSIM via depthwise conv (reference: noisy_src/metrics.py:48-116).
+
+    Accepts (H, W, C) or (H, W). Uses zero ('same') padding like the
+    reference's F.conv2d(padding=window//2).
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if pred.ndim == 2:
+        pred = pred[..., None]
+        target = target[..., None]
+    C = pred.shape[-1]
+
+    # NCHW layout, depthwise via feature_group_count.
+    p = jnp.transpose(pred, (2, 0, 1))[None]
+    t = jnp.transpose(target, (2, 0, 1))[None]
+    win = _gaussian_window(window_size)
+    kernel = jnp.broadcast_to(win, (C, 1, window_size, window_size))
+
+    conv = lambda x: jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=[(window_size // 2, window_size // 2)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=C,
+    )
+
+    mu_p = conv(p)
+    mu_t = conv(t)
+    mu_pp = mu_p * mu_p
+    mu_tt = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+    sigma_pp = conv(p * p) - mu_pp
+    sigma_tt = conv(t * t) - mu_tt
+    sigma_pt = conv(p * t) - mu_pt
+
+    ssim_map = ((2 * mu_pt + C1) * (2 * sigma_pt + C2)) / (
+        (mu_pp + mu_tt + C1) * (sigma_pp + sigma_tt + C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+class LPIPSMetric:
+    """Optional LPIPS, reference availability-guard pattern
+    (noisy_src/metrics.py:119-168). Requires the `lpips` package and its
+    pretrained VGG weights; when absent, `available` is False and __call__
+    returns None so pipelines skip the metric rather than fail."""
+
+    def __init__(self, net: str = "vgg"):
+        self._model = None
+        self._available = False
+        try:
+            import lpips  # noqa: F401 — optional dependency
+            import torch  # noqa: F401
+
+            self._model = lpips.LPIPS(net=net)
+            self._model.eval()
+            self._available = True
+        except Exception:
+            self._model = None
+            self._available = False
+
+    @property
+    def available(self) -> bool:
+        return self._available
+
+    def __call__(self, pred, target) -> Optional[float]:
+        if not self._available:
+            return None
+        import torch
+
+        def to_t(x):
+            x = np.asarray(x, dtype=np.float32)
+            t = torch.from_numpy(x).permute(2, 0, 1).unsqueeze(0)
+            return t * 2.0 - 1.0   # [0,1] -> [-1,1]
+
+        with torch.no_grad():
+            return float(self._model(to_t(pred), to_t(target)).item())
+
+
+def compute_all_metrics(
+    pred, target, lpips_metric: Optional[LPIPSMetric] = None
+) -> Dict[str, float]:
+    """PSNR/SSIM/MSE (+LPIPS if available) in one call
+    (reference: noisy_src/metrics.py:171-204)."""
+    pred = jnp.asarray(pred)
+    target = jnp.asarray(target)
+    out = {
+        "mse": float(compute_mse(pred, target)),
+        "psnr": float(compute_psnr(pred, target)),
+        "ssim": float(compute_ssim(pred, target)),
+    }
+    if lpips_metric is not None and lpips_metric.available:
+        val = lpips_metric(pred, target)
+        if val is not None:
+            out["lpips"] = val
+    return out

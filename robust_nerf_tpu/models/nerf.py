@@ -1,0 +1,148 @@
+"""NeRF MLP as a functional param pytree — no module system, pure jnp.
+
+Architecture parity with the reference (noisy_src/model.py:20-221):
+frequency positional encoding (include-input, log-spaced bands), an
+8x256 trunk with a skip-concat of the encoded position after layer 4,
+a ReLU sigma head, and a view-conditioned 128-wide color head with
+sigmoid RGB. Parameters live in a flat dict-of-arrays pytree so the whole
+model threads through jit/grad/shard_map; matmuls are MXU-shaped
+(256/128-wide) and can run in bfloat16 with float32 accumulation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+Params = Dict[str, jnp.ndarray]
+
+
+def positional_encoding(x: jnp.ndarray, num_freqs: int, include_input: bool = True):
+    """gamma(x) = [x, sin(2^0 x), cos(2^0 x), ..., sin(2^{L-1} x), cos(2^{L-1} x)].
+
+    Reference semantics: noisy_src/model.py:20-80 (log-spaced bands, input
+    included first). Output dim per channel = 2L+1.
+    """
+    out = [x] if include_input else []
+    # One broadcasted multiply instead of a per-frequency Python loop:
+    # (..., C) x (L,) -> (..., L, C) -> interleave sin/cos per frequency.
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
+    xf = x[..., None, :] * freqs[:, None]                 # (..., L, C)
+    sin = jnp.sin(xf)
+    cos = jnp.cos(xf)
+    sc = jnp.stack([sin, cos], axis=-2)                   # (..., L, 2, C)
+    sc = sc.reshape(x.shape[:-1] + (2 * num_freqs * x.shape[-1],))
+    out.append(sc)
+    return jnp.concatenate(out, axis=-1)
+
+
+def posenc_output_dim(num_freqs: int, include_input: bool = True) -> int:
+    return 2 * num_freqs + (1 if include_input else 0)
+
+
+def _linear_init(key, in_dim: int, out_dim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weight and bias — the
+    effective distribution of torch.nn.Linear's default init, so convergence
+    behavior tracks the reference without copying any code."""
+    bound = 1.0 / math.sqrt(in_dim)
+    wkey, bkey = jax.random.split(key)
+    w = jax.random.uniform(wkey, (in_dim, out_dim), jnp.float32, -bound, bound)
+    b = jax.random.uniform(bkey, (out_dim,), jnp.float32, -bound, bound)
+    return w, b
+
+
+def init_nerf_params(key: jax.Array, cfg: Optional[ModelConfig] = None) -> Params:
+    """Initialize one NeRF MLP's parameters as a flat dict pytree."""
+    if cfg is None:
+        cfg = ModelConfig()
+    pos_dim = 3 * posenc_output_dim(cfg.pos_freqs)
+    dir_dim = 3 * posenc_output_dim(cfg.dir_freqs)
+
+    params: Params = {}
+    keys = jax.random.split(key, cfg.num_hidden_layers + 4)
+    in_dim = pos_dim
+    for i in range(cfg.num_hidden_layers):
+        w, b = _linear_init(keys[i], in_dim, cfg.hidden_dim)
+        params[f"trunk_{i}_w"] = w
+        params[f"trunk_{i}_b"] = b
+        in_dim = cfg.hidden_dim
+        if i in cfg.skips:
+            in_dim += pos_dim
+
+    k = cfg.num_hidden_layers
+    params["sigma_w"], params["sigma_b"] = _linear_init(keys[k], cfg.hidden_dim, 1)
+    params["feat_w"], params["feat_b"] = _linear_init(
+        keys[k + 1], cfg.hidden_dim, cfg.hidden_dim
+    )
+    color_in = cfg.hidden_dim + (dir_dim if cfg.use_view_dirs else 0)
+    params["dir_w"], params["dir_b"] = _linear_init(
+        keys[k + 2], color_in, cfg.hidden_dim // 2
+    )
+    params["rgb_w"], params["rgb_b"] = _linear_init(
+        keys[k + 3], cfg.hidden_dim // 2, 3
+    )
+    return params
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def _matmul(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dtype) -> jnp.ndarray:
+    """MXU matmul in the compute dtype with float32 accumulation."""
+    y = jnp.dot(h.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+    return y + b
+
+
+def nerf_apply(
+    params: Params,
+    pts: jnp.ndarray,                  # (..., 3) world-space positions
+    viewdirs: Optional[jnp.ndarray],   # (..., 3) unit view directions or None
+    cfg: ModelConfig,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the MLP. Returns (rgb in [0,1] (..., 3), sigma >= 0 (..., 1)).
+
+    Reference semantics: noisy_src/model.py:145-196 — skip-concat of the
+    encoded position after trunk layers in cfg.skips, ReLU sigma, sigmoid RGB.
+    """
+    x_enc = positional_encoding(pts, cfg.pos_freqs)
+    h = x_enc
+    for i in range(cfg.num_hidden_layers):
+        h = _matmul(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"], compute_dtype)
+        h = jax.nn.relu(h)
+        if i in cfg.skips:
+            h = jnp.concatenate([x_enc, h], axis=-1)
+
+    sigma = jax.nn.relu(_matmul(h, params["sigma_w"], params["sigma_b"], compute_dtype))
+    feats = _matmul(h, params["feat_w"], params["feat_b"], compute_dtype)
+
+    if cfg.use_view_dirs and viewdirs is not None:
+        d_enc = positional_encoding(viewdirs, cfg.dir_freqs)
+        h_color = jnp.concatenate([feats, d_enc], axis=-1)
+    else:
+        h_color = feats
+    h_color = jax.nn.relu(_matmul(h_color, params["dir_w"], params["dir_b"], compute_dtype))
+    rgb = jax.nn.sigmoid(_matmul(h_color, params["rgb_w"], params["rgb_b"], compute_dtype))
+    return rgb, sigma
+
+
+def create_nerf(
+    key: jax.Array, cfg: Optional[ModelConfig] = None, use_hierarchical: bool = True
+) -> Dict[str, Params]:
+    """Independent coarse (+ fine) parameter trees.
+
+    Reference semantics: noisy_src/model.py:199-221.
+    """
+    if cfg is None:
+        cfg = ModelConfig()
+    kc, kf = jax.random.split(key)
+    models = {"coarse": init_nerf_params(kc, cfg)}
+    if use_hierarchical:
+        models["fine"] = init_nerf_params(kf, cfg)
+    return models

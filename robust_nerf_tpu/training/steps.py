@@ -1,0 +1,289 @@
+"""Jitted train steps — standard (fixed-pose) and joint pose-opt paths.
+
+TPU-native structure: batch sampling, rendering, loss, backward, and the
+optimizer update are ONE XLA program; `train_chunk` scans `steps_per_scan`
+of those per dispatch, so the host touches the device once per log interval
+instead of once per iteration (the reference dispatches dozens of kernels
+per step and logs synchronously, noisy_src/train.py:450-520). Per-iteration
+metrics still come back — stacked, one row per step.
+
+Loss/optimizer semantics follow the reference: MSE(coarse)+MSE(fine), Adam,
+lr decay 0.1^(step/(lr_decay*1000)) (train.py:68-119, 405-411); pose-opt
+adds L2 delta regularization, a separate delayed Adam for poses, and
+per-group gradient clipping (train_pose_opt.py:290-409).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import NeRFConfig
+from ..core.rays import get_rays_for_pixels
+from ..core.se3 import apply_pose_deltas
+from ..data.banks import PixelBank, RayBank, sample_pixel_batch, sample_ray_batch
+from ..evalx.metrics import psnr_from_mse
+from ..models.nerf import create_nerf, nerf_apply
+from ..ops.rendering import render_rays
+from ..parallel.mesh import constrain_batch
+
+
+class TrainState(NamedTuple):
+    models: Dict[str, Any]      # {"coarse": params[, "fine": params]}
+    opt_state: Any
+    step: jnp.ndarray           # int32 scalar
+
+
+class PoseOptState(NamedTuple):
+    models: Dict[str, Any]
+    pose_params: Dict[str, jnp.ndarray]   # rotation_deltas/translation_deltas (N,3)
+    initial_poses: jnp.ndarray            # (N, 4, 4) — fixed
+    opt_state: Any
+    pose_opt_state: Any
+    step: jnp.ndarray
+
+
+def make_lr_schedule(lr: float, lr_decay: int):
+    """lr * 0.1^(step / (lr_decay*1000)) — reference train.py:405-411."""
+    return optax.exponential_decay(
+        init_value=lr, transition_steps=lr_decay * 1000, decay_rate=0.1
+    )
+
+
+def make_optimizer(cfg: NeRFConfig):
+    schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(schedule),
+    )
+
+
+def make_pose_optimizer(cfg: NeRFConfig):
+    po = cfg.pose_opt
+    schedule = make_lr_schedule(po.pose_lr, cfg.train.lr_decay)
+    return optax.chain(
+        optax.clip_by_global_norm(po.pose_grad_clip),
+        optax.adam(schedule),
+    )
+
+
+def create_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
+    models = create_nerf(key, cfg.model, cfg.render.use_hierarchical)
+    opt = make_optimizer(cfg)
+    return TrainState(
+        models=models,
+        opt_state=opt.init(models),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def create_pose_opt_state(
+    key: jax.Array, cfg: NeRFConfig, initial_poses: jnp.ndarray
+) -> PoseOptState:
+    models = create_nerf(key, cfg.model, cfg.render.use_hierarchical)
+    n = initial_poses.shape[0]
+    pose_params = {
+        "rotation_deltas": jnp.zeros((n, 3), jnp.float32),
+        "translation_deltas": jnp.zeros((n, 3), jnp.float32),
+    }
+    return PoseOptState(
+        models=models,
+        pose_params=pose_params,
+        initial_poses=jnp.asarray(initial_poses, jnp.float32),
+        opt_state=make_optimizer(cfg).init(models),
+        pose_opt_state=make_pose_optimizer(cfg).init(pose_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _apply_fn_for(cfg: NeRFConfig):
+    """Select the MLP apply fn (XLA or fused Pallas) + optional remat."""
+    fn = nerf_apply
+    if cfg.tpu.use_pallas:
+        from ..ops.pallas.fused_mlp import nerf_apply_fused
+
+        fn = nerf_apply_fused
+    if cfg.tpu.remat:
+        fn = jax.checkpoint(fn, static_argnums=(3, 4))
+    return fn
+
+
+def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn):
+    """MSE(coarse) + MSE(fine) and per-step metrics
+    (reference: train.py:68-113)."""
+    out = render_rays(
+        models,
+        batch["rays_o"],
+        batch["rays_d"],
+        key,
+        cfg.render,
+        cfg.model,
+        is_train=True,
+        compute_dtype=jnp.dtype(cfg.tpu.compute_dtype),
+        apply_fn=apply_fn,
+    )
+    target = batch["target_rgb"]
+    mse_c = jnp.mean((out["rgb_coarse"] - target) ** 2)
+    loss = mse_c
+    metrics = {"loss_coarse": mse_c, "psnr_coarse": psnr_from_mse(mse_c)}
+    if "rgb_fine" in out:
+        mse_f = jnp.mean((out["rgb_fine"] - target) ** 2)
+        loss = loss + mse_f
+        metrics["loss_fine"] = mse_f
+        metrics["psnr"] = psnr_from_mse(mse_f)
+    else:
+        metrics["loss_fine"] = jnp.zeros(())
+        metrics["psnr"] = metrics["psnr_coarse"]
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
+    """Build the jitted scanned-step function for standard training.
+
+    Returns f(state, bank, base_key) -> (state, stacked per-iter metrics).
+    `steps` defaults to cfg.tpu.steps_per_scan.
+    """
+    n_steps = steps or cfg.tpu.steps_per_scan
+    optimizer = make_optimizer(cfg)
+    schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
+    batch_size = cfg.data.batch_size
+    apply_fn = _apply_fn_for(cfg)
+
+    def one_step(state: TrainState, bank: RayBank, base_key):
+        key = jax.random.fold_in(base_key, state.step)
+        k_batch, k_render = jax.random.split(key)
+        batch = sample_ray_batch(bank, k_batch, batch_size)
+        batch = constrain_batch(batch, mesh)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda m: _render_loss(m, batch, k_render, cfg, apply_fn),
+            has_aux=True,
+        )(state.models)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.models)
+        models = optax.apply_updates(state.models, updates)
+        metrics["learning_rate"] = schedule(state.step)
+        return TrainState(models, opt_state, state.step + 1), metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state: TrainState, bank: RayBank, base_key):
+        def body(carry, _):
+            new_state, metrics = one_step(carry, bank, base_key)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return train_chunk
+
+
+def _pose_render_loss(models, pose_params, batch, initial_poses, key,
+                      cfg: NeRFConfig, apply_fn):
+    """Joint loss: photometric + L2 pose-delta regularization, with rays
+    regenerated differentiably from current pose estimates
+    (reference: train_pose_opt.py:290-390)."""
+    poses = apply_pose_deltas(
+        initial_poses, pose_params["rotation_deltas"], pose_params["translation_deltas"]
+    )
+    batch_poses = poses[batch["image_indices"]]          # (B, 4, 4) gather
+    rays_o, rays_d = get_rays_for_pixels(
+        batch["directions"], batch_poses, batch["us"], batch["vs"]
+    )
+    rbatch = {
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+        "target_rgb": batch["target_rgb"],
+    }
+    loss, metrics = _render_loss(models, rbatch, key, cfg, apply_fn)
+    po = cfg.pose_opt
+    reg = po.rotation_reg_weight * jnp.sum(pose_params["rotation_deltas"] ** 2) \
+        + po.translation_reg_weight * jnp.sum(pose_params["translation_deltas"] ** 2)
+    metrics["pose_reg"] = reg
+    total = loss + reg
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
+    """Jitted scanned-step function for joint NeRF + pose optimization.
+
+    Pose gradients are gated (zeroed) before cfg.pose_opt.pose_opt_delay and
+    masked by learn_rotation/learn_translation — with Adam moments starting
+    at zero, zero grads give exactly zero updates, reproducing the
+    reference's staged-optimization behavior (train_pose_opt.py:859, :407-409)
+    without any control flow in the compiled program.
+    """
+    n_steps = steps or cfg.tpu.steps_per_scan
+    optimizer = make_optimizer(cfg)
+    pose_optimizer = make_pose_optimizer(cfg)
+    schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
+    batch_size = cfg.data.batch_size
+    po = cfg.pose_opt
+    apply_fn = _apply_fn_for(cfg)
+
+    def one_step(state: PoseOptState, bank: PixelBank, base_key):
+        key = jax.random.fold_in(base_key, state.step)
+        k_batch, k_render = jax.random.split(key)
+        batch = sample_pixel_batch(bank, k_batch, batch_size)
+        batch = constrain_batch(batch, mesh)
+        batch["directions"] = bank.directions   # (H, W, 3), replicated
+
+        (loss, metrics), (grads, pose_grads) = jax.value_and_grad(
+            lambda m, p: _pose_render_loss(
+                m, p, batch, state.initial_poses, k_render, cfg, apply_fn
+            ),
+            argnums=(0, 1),
+            has_aux=True,
+        )(state.models, state.pose_params)
+
+        # Staged gate + per-component freezing. `where`, not multiply:
+        # a gated-off NaN/inf grad must become exactly zero.
+        gate = state.step >= po.pose_opt_delay
+        rot_on = jnp.logical_and(gate, po.learn_rotation)
+        trans_on = jnp.logical_and(gate, po.learn_translation)
+        pose_grads = {
+            "rotation_deltas": jnp.where(
+                rot_on, pose_grads["rotation_deltas"], 0.0
+            ),
+            "translation_deltas": jnp.where(
+                trans_on, pose_grads["translation_deltas"], 0.0
+            ),
+        }
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.models)
+        models = optax.apply_updates(state.models, updates)
+        pose_updates, pose_opt_state = pose_optimizer.update(
+            pose_grads, state.pose_opt_state, state.pose_params
+        )
+        pose_params = optax.apply_updates(state.pose_params, pose_updates)
+
+        metrics["learning_rate"] = schedule(state.step)
+        metrics["pose_opt_active"] = gate.astype(jnp.float32)
+        new_state = PoseOptState(
+            models, pose_params, state.initial_poses,
+            opt_state, pose_opt_state, state.step + 1,
+        )
+        return new_state, metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def pose_opt_chunk(state: PoseOptState, bank: PixelBank, base_key):
+        def body(carry, _):
+            new_state, metrics = one_step(carry, bank, base_key)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return pose_opt_chunk
+
+
+def current_poses(state: PoseOptState) -> jnp.ndarray:
+    """Current pose estimates = exp-map deltas composed onto init poses
+    (reference: CameraPoseParameters.get_poses, train_pose_opt.py:186-226)."""
+    return apply_pose_deltas(
+        state.initial_poses,
+        state.pose_params["rotation_deltas"],
+        state.pose_params["translation_deltas"],
+    )
