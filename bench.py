@@ -1,0 +1,94 @@
+"""Benchmark — training throughput (rays/sec) on real hardware.
+
+Measures the standard fixed-pose training path at the reference benchmark
+configuration (lego-equivalent geometry: 400x400 half-res frames, 64 coarse
++ 128 fine hierarchical samples, full 8x256 MLPs; data is the procedural
+analytic scene since the Blender set is not on disk — ray geometry, sample
+counts and model sizes are identical, so throughput is comparable).
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 9600}
+vs_baseline compares against the reference's measured ~9.6k rays/s
+(BASELINE.md: outputs/lego_clean_*/logs/train_metrics.csv median).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 9600.0   # BASELINE.md standard-path median
+
+
+def main():
+    from robust_nerf_tpu.config import (
+        DataConfig,
+        ModelConfig,
+        NeRFConfig,
+        RenderConfig,
+        TPUConfig,
+        TrainConfig,
+    )
+    from robust_nerf_tpu.data.banks import build_ray_bank
+    from robust_nerf_tpu.data.synthetic import make_synthetic_scene
+    from robust_nerf_tpu.training.steps import create_train_state, make_train_chunk
+
+    platform = jax.devices()[0].platform
+    on_accel = platform != "cpu"
+
+    # TPU-shaped batch: the reference trains 1024 rays/step; one TPU chip is
+    # fed far better at 4096 (same optimizer semantics, 4x fewer dispatches
+    # per epoch). CPU fallback keeps small shapes so the bench still runs.
+    batch = 4096 if on_accel else 512
+    scan = 50 if on_accel else 10
+    cfg = NeRFConfig(
+        model=ModelConfig(),
+        render=RenderConfig(num_samples=64, num_samples_fine=128),
+        data=DataConfig(batch_size=batch, source="synthetic"),
+        train=TrainConfig(seed=0),
+        tpu=TPUConfig(
+            steps_per_scan=scan,
+            compute_dtype="bfloat16" if on_accel else "float32",
+        ),
+    )
+
+    # 400x400-equivalent ray bank (20 frames is plenty for a throughput bench)
+    res = 400 if on_accel else 64
+    scene = make_synthetic_scene(num_images=20, resolution=res, num_samples=128)
+    bank, _, _ = build_ray_bank(scene)
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    chunk = make_train_chunk(cfg, steps=scan)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    state, m = chunk(state, bank, key)
+    jax.block_until_ready(m["loss"])
+
+    # timed: several chunks, take the best (steady-state) rate
+    rates = []
+    for _ in range(5 if on_accel else 2):
+        t0 = time.perf_counter()
+        state, m = chunk(state, bank, key)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        rates.append(scan * batch / dt)
+    value = float(np.median(rates))
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(value, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(value / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from robust_nerf_tpu.models.nerf import (  # noqa: F401
+    create_nerf,
+    init_nerf_params,
+    nerf_apply,
+    positional_encoding,
+)

@@ -1,0 +1,6 @@
+from robust_nerf_tpu.ops.rendering import (  # noqa: F401
+    raw2outputs,
+    render_image,
+    render_rays,
+    render_rays_chunked,
+)

@@ -24,6 +24,12 @@ class ModelConfig:
     num_hidden_layers: int = 8
     skips: Tuple[int, ...] = (4,)   # trunk layers followed by a skip-concat
     use_view_dirs: bool = True
+    # Density activation. The reference uses ReLU (noisy_src/model.py:181),
+    # which can die irreversibly when white-background gradient pressure
+    # drives every pre-activation negative early in training (observed on
+    # 2/4 init seeds). softplus is gradient-alive everywhere, converges at
+    # least as fast, and is the default; "relu" gives strict parity.
+    sigma_activation: str = "softplus"
 
 
 @dataclass(frozen=True)

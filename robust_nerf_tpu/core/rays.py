@@ -49,7 +49,7 @@ def get_rays(directions: jnp.ndarray, c2w: jnp.ndarray):
     with rays_d normalized and rays_o broadcast from the pose translation.
     Differentiable w.r.t. c2w (used by pose optimization).
     """
-    rays_d = directions @ c2w[:3, :3].T
+    rays_d = jnp.matmul(directions, c2w[:3, :3].T, precision="highest")
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
     return rays_o, rays_d
@@ -80,7 +80,7 @@ def get_rays_for_pixels(
     """
     dirs = directions_grid[vs, us]                       # (B, 3)
     rot = poses[:, :3, :3]                               # (B, 3, 3)
-    rays_d = jnp.einsum("bij,bj->bi", rot, dirs)
+    rays_d = jnp.einsum("bij,bj->bi", rot, dirs, precision="highest")
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = poses[:, :3, 3]
     return rays_o, rays_d

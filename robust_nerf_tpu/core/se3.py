@@ -52,7 +52,10 @@ def exp_so3(axis_angle: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
 
     K = skew(axis_angle)   # = theta * skew(axis)
-    K2 = K @ K
+    # precision='highest': XLA's default matmul path trades precision for
+    # speed (bf16-class error ~1e-3 on TPU and oneDNN CPU) — fatal for
+    # sub-degree pose math. Geometry always runs full f32.
+    K2 = jnp.matmul(K, K, precision="highest")
     eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * K2
 
@@ -89,7 +92,8 @@ def apply_pose_deltas(
     left/world-frame convention (noisy_src/train_pose_opt.py:186-226).
     """
     R_delta = exp_so3(rotation_deltas)                      # (N, 3, 3)
-    R_new = jnp.einsum("nij,njk->nik", R_delta, initial_poses[:, :3, :3])
+    R_new = jnp.einsum("nij,njk->nik", R_delta, initial_poses[:, :3, :3],
+                       precision="highest")
     t_new = initial_poses[:, :3, 3] + translation_deltas
     poses = jnp.broadcast_to(
         jnp.eye(4, dtype=initial_poses.dtype), initial_poses.shape
@@ -104,7 +108,8 @@ def rotation_geodesic_error_deg(R_a: jnp.ndarray, R_b: jnp.ndarray) -> jnp.ndarr
 
     Reference semantics: noisy_src/noise.py:237-258 — arccos((tr(Ra^T Rb)-1)/2).
     """
-    R_diff = jnp.einsum("...ji,...jk->...ik", R_a, R_b)  # Ra^T @ Rb
+    R_diff = jnp.einsum("...ji,...jk->...ik", R_a, R_b,
+                        precision="highest")  # Ra^T @ Rb
     trace = R_diff[..., 0, 0] + R_diff[..., 1, 1] + R_diff[..., 2, 2]
     angle = jnp.arccos(jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0))
     return angle * (180.0 / jnp.pi)

@@ -59,7 +59,13 @@ def analytic_field(pts: jnp.ndarray):
     colors = jnp.asarray(_BLOB_COLORS)
 
     d2 = jnp.sum((pts[..., None, :] - centers) ** 2, axis=-1)  # (..., K)
-    blob_sigma = dens * jnp.exp(-0.5 * d2 / (radii**2))        # (..., K)
+    # Compact support: subtract the 3-sigma tail so density is exactly zero
+    # away from the blobs — keeps the background truly white and gives pose
+    # optimization a clean silhouette signal.
+    cutoff = jnp.exp(jnp.float32(-0.5 * 3.0**2))
+    blob_sigma = dens * jnp.maximum(
+        jnp.exp(-0.5 * d2 / (radii**2)) - cutoff, 0.0
+    )                                                          # (..., K)
     sigma = jnp.sum(blob_sigma, axis=-1)
     w = blob_sigma / (jnp.sum(blob_sigma, axis=-1, keepdims=True) + 1e-8)
     rgb = jnp.einsum("...k,kc->...c", w, colors)

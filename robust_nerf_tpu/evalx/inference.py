@@ -1,0 +1,340 @@
+"""Inference — checkpoint loading, test-set evaluation, spiral video.
+
+Behavioral parity with `python -m noisy_src.inference` (reference:
+noisy_src/inference.py:33-616): the renderer is rebuilt entirely from the
+checkpoint's embedded config; test eval optionally injects pose noise and
+writes per-image PNGs + per_image_metrics.json + test_metrics.json +
+experiment_config.json; video mode renders a circular orbit and shells out
+to ffmpeg (frames are kept if ffmpeg fails). The reference declared but
+never implemented `--mode single` (inference.py:472-474) — implemented here.
+The reference's spiral ignored its `radius` argument (hardcoded 4.0,
+inference.py:338-343) — fixed: `radius` is honored, defaulting to 4.0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import NeRFConfig, config_from_dict, config_to_dict
+from ..core.noise import NoiseConfig, add_noise_to_pose
+from ..data.synthetic import load_scene
+from ..evalx.metrics import LPIPSMetric, compute_mse, compute_psnr, compute_ssim
+from ..ops.rendering import render_image
+from ..training.checkpoints import find_checkpoint, load_checkpoint_raw, restore_into
+from ..training.steps import create_pose_opt_state, create_train_state
+from ..utils.logger import depth_to_colormap, save_png
+
+
+def load_checkpoint(path) -> Tuple[dict, NeRFConfig, dict, dict]:
+    """Rebuild models (+config) from a checkpoint alone
+    (reference: inference.py:33-72).
+
+    Returns (models, config, meta, extra_arrays).
+    """
+    ckpt_path = find_checkpoint(Path(path))
+    leaves, meta, extra = load_checkpoint_raw(ckpt_path)
+    cfg = config_from_dict(meta["config"])
+    key = jax.random.PRNGKey(0)
+    if "initial_poses" in extra:
+        template = create_pose_opt_state(key, cfg, np.asarray(extra["initial_poses"]))
+    else:
+        template = create_train_state(key, cfg)
+    state = restore_into(template, leaves)
+    return state.models, cfg, meta, extra
+
+
+def evaluate_test_set(
+    models,
+    cfg: NeRFConfig,
+    test_scene,
+    output_dir: Path,
+    noise_config: Optional[NoiseConfig] = None,
+    max_images: Optional[int] = None,
+    save_images: bool = True,
+) -> Dict:
+    """Per-image render + metrics over a test split
+    (reference: inference.py:144-318)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    img_dir = output_dir / "test_images"
+    if save_images:
+        img_dir.mkdir(exist_ok=True)
+
+    rng = np.random.default_rng(noise_config.seed) if noise_config else None
+    lpips_metric = LPIPSMetric()
+
+    n = test_scene.images.shape[0]
+    if max_images is not None:
+        n = min(n, max_images)
+
+    per_image = []
+    for i in range(n):
+        pose = np.asarray(test_scene.poses[i])
+        if noise_config is not None and noise_config.has_noise:
+            camera_distance = float(np.linalg.norm(pose[:3, 3]))
+            trans_std = noise_config.get_translation_std(camera_distance)
+            pose, _ = add_noise_to_pose(
+                pose, noise_config.rotation_noise_deg, trans_std, rng=rng
+            )
+        t0 = time.time()
+        out = render_image(
+            models, pose, test_scene.H, test_scene.W, test_scene.focal,
+            cfg.render, cfg.model, cfg.tpu,
+        )
+        pred = np.asarray(out["rgb"])
+        render_time = time.time() - t0
+        target = np.asarray(test_scene.images[i])
+
+        m = {
+            "image_idx": i,
+            "psnr": float(compute_psnr(pred, target)),
+            "ssim": float(compute_ssim(pred, target)),
+            "mse": float(compute_mse(pred, target)),
+            "render_time": render_time,
+        }
+        if lpips_metric.available:
+            v = lpips_metric(pred, target)
+            if v is not None:
+                m["lpips"] = v
+        per_image.append(m)
+
+        if save_images:
+            save_png(pred, img_dir / f"test_{i:03d}_pred.png")
+            save_png(target, img_dir / f"test_{i:03d}_gt.png")
+            save_png(
+                np.concatenate([target, pred], axis=1),
+                img_dir / f"test_{i:03d}_comparison.png",
+            )
+            save_png(
+                depth_to_colormap(np.asarray(out["depth"])),
+                img_dir / f"test_{i:03d}_depth.png",
+            )
+        print(
+            f"  test {i + 1}/{n}: PSNR {m['psnr']:.2f} SSIM {m['ssim']:.4f} "
+            f"({render_time:.2f}s)"
+        )
+
+    agg = {
+        "num_images": n,
+        "psnr_mean": float(np.mean([m["psnr"] for m in per_image])),
+        "psnr_std": float(np.std([m["psnr"] for m in per_image])),
+        "ssim_mean": float(np.mean([m["ssim"] for m in per_image])),
+        "mse_mean": float(np.mean([m["mse"] for m in per_image])),
+        "render_time_mean": float(np.mean([m["render_time"] for m in per_image])),
+        "noise_config": config_to_dict(noise_config) if noise_config else None,
+        "timestamp": datetime.now().isoformat(),
+    }
+    lp = [m["lpips"] for m in per_image if "lpips" in m]
+    if lp:
+        agg["lpips_mean"] = float(np.mean(lp))
+
+    with open(output_dir / "per_image_metrics.json", "w") as f:
+        json.dump(per_image, f, indent=2)
+    with open(output_dir / "test_metrics.json", "w") as f:
+        json.dump(agg, f, indent=2)
+    with open(output_dir / "experiment_config.json", "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2)
+    return agg
+
+
+def create_spiral_poses(
+    n_frames: int = 120,
+    radius: float = 4.0,
+    height: float = 0.0,
+    n_rotations: float = 2.0,
+) -> np.ndarray:
+    """Circular orbit at `radius` looking at the origin, (n_frames, 4, 4).
+
+    Reference semantics: inference.py:321-361 — theta spans
+    2*pi*n_rotations, look-at origin with +Z up; the reference hardcoded
+    the orbit distance to 4.0 and ignored `radius` (a quirk); here `radius`
+    is honored with the same default orbit distance.
+    """
+    poses = []
+    for i in range(n_frames):
+        t = i / n_frames
+        theta = 2 * np.pi * n_rotations * t
+        position = np.array(
+            [radius * np.cos(theta), radius * np.sin(theta), height],
+            dtype=np.float32,
+        )
+        forward = -position / np.linalg.norm(position)
+        up = np.array([0.0, 0.0, 1.0], dtype=np.float32)
+        right = np.cross(forward, up)
+        right = right / np.linalg.norm(right)
+        up = np.cross(right, forward)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = up
+        c2w[:3, 2] = -forward
+        c2w[:3, 3] = position
+        poses.append(c2w)
+    return np.stack(poses, axis=0)
+
+
+def render_video(
+    models,
+    cfg: NeRFConfig,
+    poses: np.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    output_dir: Path,
+    noise_config: Optional[NoiseConfig] = None,
+    fps: int = 30,
+) -> Path:
+    """Render frames (optional per-frame pose noise) and assemble an mp4
+    via ffmpeg; keep PNG frames if ffmpeg is unavailable
+    (reference: inference.py:364-443)."""
+    output_dir = Path(output_dir)
+    frames_dir = output_dir / "frames"
+    frames_dir.mkdir(parents=True, exist_ok=True)
+    rng = (
+        np.random.default_rng(noise_config.seed)
+        if noise_config is not None
+        else None
+    )
+
+    n_frames = poses.shape[0]
+    print(f"Rendering {n_frames} frames...")
+    for i in range(n_frames):
+        pose = np.asarray(poses[i])
+        if noise_config is not None and noise_config.has_noise:
+            camera_distance = float(np.linalg.norm(pose[:3, 3]))
+            trans_std = noise_config.get_translation_std(camera_distance)
+            pose, _ = add_noise_to_pose(
+                pose, noise_config.rotation_noise_deg, trans_std, rng=rng
+            )
+        out = render_image(models, pose, H, W, focal, cfg.render, cfg.model, cfg.tpu)
+        save_png(np.asarray(out["rgb"]), frames_dir / f"frame_{i:04d}.png")
+        if (i + 1) % 10 == 0:
+            print(f"  rendered {i + 1}/{n_frames}")
+
+    with open(output_dir / "video_config.json", "w") as f:
+        json.dump(
+            {
+                "n_frames": int(n_frames),
+                "fps": fps,
+                "noise_config": config_to_dict(noise_config) if noise_config else None,
+                "timestamp": datetime.now().isoformat(),
+            },
+            f,
+            indent=2,
+        )
+
+    video_path = output_dir / "video.mp4"
+    try:
+        subprocess.run(
+            [
+                "ffmpeg", "-y", "-framerate", str(fps),
+                "-i", str(frames_dir / "frame_%04d.png"),
+                "-c:v", "libx264", "-pix_fmt", "yuv420p", str(video_path),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        print(f"Video saved to {video_path}")
+    except Exception as e:
+        print(f"Could not create video (ffmpeg required): {e}")
+        print(f"Frames kept in {frames_dir}")
+        video_path = frames_dir
+    return video_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        allow_abbrev=False, description="NeRF inference (TPU-native)")
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="checkpoint file or experiment dir")
+    parser.add_argument("--mode", type=str, default="test",
+                        choices=["test", "video", "single"])
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--scene", type=str, default=None)
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--data_source", type=str, default=None,
+                        choices=[None, "blender", "synthetic"])
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--max_images", type=int, default=None)
+    parser.add_argument("--no_save_images", action="store_true")
+    parser.add_argument("--image_idx", type=int, default=0,
+                        help="--mode single: which image to render")
+    # video options
+    parser.add_argument("--n_frames", type=int, default=120)
+    parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--radius", type=float, default=4.0)
+    parser.add_argument("--n_rotations", type=float, default=2.0)
+    # inference-time noise
+    parser.add_argument("--rotation_noise", type=float, default=0.0)
+    parser.add_argument("--translation_noise", type=float, default=0.0)
+    parser.add_argument("--translation_noise_pct", type=float, default=0.0)
+    parser.add_argument("--noise_seed", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    models, cfg, meta, _ = load_checkpoint(args.checkpoint)
+    if args.scene:
+        cfg.data.scene_name = args.scene
+    if args.data_root:
+        cfg.data.data_root = Path(args.data_root)
+    if args.data_source:
+        cfg.data.source = args.data_source
+
+    noise_config = NoiseConfig(
+        rotation_noise_deg=args.rotation_noise,
+        translation_noise=args.translation_noise,
+        translation_noise_pct=args.translation_noise_pct,
+        seed=args.noise_seed,
+    )
+    if not noise_config.has_noise:
+        noise_config = None
+
+    ckpt_dir = Path(args.checkpoint)
+    ckpt_dir = ckpt_dir if ckpt_dir.is_dir() else ckpt_dir.parent
+    output_dir = Path(args.output_dir) if args.output_dir else ckpt_dir / "inference"
+
+    if args.mode == "test":
+        scene = load_scene(cfg.data, args.split)
+        agg = evaluate_test_set(
+            models, cfg, scene, output_dir, noise_config,
+            max_images=args.max_images, save_images=not args.no_save_images,
+        )
+        print(
+            f"Test metrics: PSNR {agg['psnr_mean']:.2f} +/- {agg['psnr_std']:.2f}, "
+            f"SSIM {agg['ssim_mean']:.4f}"
+        )
+    elif args.mode == "video":
+        scene = load_scene(cfg.data, "train")
+        poses = create_spiral_poses(
+            n_frames=args.n_frames, radius=args.radius, n_rotations=args.n_rotations
+        )
+        render_video(
+            models, cfg, poses, scene.H, scene.W, scene.focal,
+            output_dir, noise_config, fps=args.fps,
+        )
+    elif args.mode == "single":
+        scene = load_scene(cfg.data, args.split)
+        idx = args.image_idx
+        out = render_image(
+            models, scene.poses[idx], scene.H, scene.W, scene.focal,
+            cfg.render, cfg.model, cfg.tpu,
+        )
+        output_dir.mkdir(parents=True, exist_ok=True)
+        save_png(np.asarray(out["rgb"]), output_dir / f"single_{idx:03d}_pred.png")
+        save_png(
+            depth_to_colormap(np.asarray(out["depth"])),
+            output_dir / f"single_{idx:03d}_depth.png",
+        )
+        psnr = float(compute_psnr(np.asarray(out["rgb"]), scene.images[idx]))
+        print(f"Rendered image {idx}: PSNR {psnr:.2f} -> {output_dir}")
+
+
+if __name__ == "__main__":
+    main()

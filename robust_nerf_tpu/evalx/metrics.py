@@ -67,12 +67,16 @@ def compute_ssim(
     win = _gaussian_window(window_size)
     kernel = jnp.broadcast_to(win, (C, 1, window_size, window_size))
 
+    # precision=HIGHEST: the sigma terms are E[x^2]-mu^2 cancellations with
+    # C2 = 9e-4 — TPU's default bf16-class conv precision injects ~8e-3
+    # error there and SSIM leaves [0, 1].
     conv = lambda x: jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),
         padding=[(window_size // 2, window_size // 2)] * 2,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     mu_p = conv(p)

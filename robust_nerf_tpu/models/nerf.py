@@ -119,7 +119,11 @@ def nerf_apply(
         if i in cfg.skips:
             h = jnp.concatenate([x_enc, h], axis=-1)
 
-    sigma = jax.nn.relu(_matmul(h, params["sigma_w"], params["sigma_b"], compute_dtype))
+    raw_sigma = _matmul(h, params["sigma_w"], params["sigma_b"], compute_dtype)
+    if cfg.sigma_activation == "softplus":
+        sigma = jax.nn.softplus(raw_sigma)
+    else:
+        sigma = jax.nn.relu(raw_sigma)
     feats = _matmul(h, params["feat_w"], params["feat_b"], compute_dtype)
 
     if cfg.use_view_dirs and viewdirs is not None:

@@ -1,0 +1,296 @@
+"""Fused positional-encoding + NeRF-MLP Pallas kernel.
+
+The hot op of the whole framework (SURVEY.md §3.5): for every sample point,
+encode -> 8x256 trunk (skip-concat) -> sigma/feature/color heads. The XLA
+path materializes the (N, 63) encoding and every (N, 256) activation in
+HBM — ~7 GB of traffic per 786k-point batch, which makes it HBM-bound.
+This kernel keeps the entire parameter set (~2.4 MB f32) and all per-tile
+activations in VMEM, so HBM traffic collapses to inputs + outputs.
+
+Encoding trick: building gamma(x) by concatenating 2L+1 width-3 pieces is
+VPU-hostile (3/128 lane occupancy per op). Instead the encoding is ONE
+matmul: t = x @ P where P (3, S) routes channel c scaled by 2^k into its
+slot, followed by enc = m_id*t + m_sin*sin(t) + m_cos*cos(t) with per-slot
+masks — full-lane-width VPU ops and an MXU matmul. Trunk/head weights are
+zero-row-padded to match the padded slot layout, so results equal the
+math of models.nerf.nerf_apply (slot order matches positional_encoding's
+[x, per-freq sin(3) cos(3)] layout exactly; padded slots multiply zero
+weight rows).
+
+Grad support: custom VJP whose backward recomputes through the XLA
+reference implementation — exact gradients of the same math.
+
+Falls back to `nerf_apply` for configs without view directions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import ModelConfig
+from ...models.nerf import nerf_apply
+
+TILE = 1024            # points per grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _encoding_tables(num_freqs: int, pad_to: int):
+    """(P (3, S), m_id (1, S), m_sin (1, S), m_cos (1, S)), S = pad_to.
+
+    Slot layout matches positional_encoding: [x0,x1,x2] then per freq k:
+    [sin(2^k x0..2), cos(2^k x0..2)]; trailing slots are padding (all
+    masks zero -> encoding exactly 0 there).
+    """
+    dim = 3 * (1 + 2 * num_freqs)
+    S = max(pad_to, dim)
+    P = np.zeros((3, S), np.float32)
+    m_id = np.zeros((S,), np.float32)
+    m_sin = np.zeros((S,), np.float32)
+    m_cos = np.zeros((S,), np.float32)
+    for c in range(3):
+        P[c, c] = 1.0
+        m_id[c] = 1.0
+    for k in range(num_freqs):
+        f = float(2.0**k)
+        base = 3 + 6 * k
+        for c in range(3):
+            P[c, base + c] = f          # sin slot
+            m_sin[base + c] = 1.0
+            P[c, base + 3 + c] = f      # cos slot
+            m_cos[base + 3 + c] = 1.0
+    # numpy, not device arrays: this cache is shared across traces, and a
+    # device array materialized inside one jit trace must not leak into
+    # another (UnexpectedTracerError).
+    return (P, m_id.reshape(1, -1), m_sin.reshape(1, -1), m_cos.reshape(1, -1))
+
+
+def _prepare_weights(params, cfg: ModelConfig):
+    """Repack params for the padded-slot encoding layout.
+
+    pos encoding dim 63 -> S_pos (64); dir encoding 27 -> S_dir (32). Any
+    weight consuming an encoding gets zero rows at the padding slots
+    (zero rows x zero activations = identical math).
+    """
+    pos_dim = 3 * (1 + 2 * cfg.pos_freqs)
+    dir_dim = 3 * (1 + 2 * cfg.dir_freqs)
+    S_pos = _round_up(pos_dim, 64)
+    S_dir = _round_up(dir_dim, 32)
+    H = cfg.hidden_dim
+
+    ws = []
+
+    def add(w, b):
+        ws.append(w)
+        ws.append(b.reshape(1, -1))
+
+    for i in range(cfg.num_hidden_layers):
+        w = params[f"trunk_{i}_w"]
+        if i == 0:
+            w = jnp.pad(w, ((0, S_pos - pos_dim), (0, 0)))
+        elif (i - 1) in cfg.skips:
+            # layer input was concat([x_enc, h]); x_enc rows move to the
+            # padded block, h rows follow after S_pos
+            w = jnp.concatenate(
+                [
+                    jnp.pad(w[:pos_dim], ((0, S_pos - pos_dim), (0, 0))),
+                    w[pos_dim:],
+                ],
+                axis=0,
+            )
+        add(w, params[f"trunk_{i}_b"])
+
+    add(params["sigma_w"], params["sigma_b"])
+    add(params["feat_w"], params["feat_b"])
+    # dir-head input: concat([feats (H), d_enc (dir_dim -> S_dir padded)])
+    dw = jnp.concatenate(
+        [
+            params["dir_w"][:H],
+            jnp.pad(params["dir_w"][H:], ((0, S_dir - dir_dim), (0, 0))),
+        ],
+        axis=0,
+    )
+    add(dw, params["dir_b"])
+    add(params["rgb_w"], params["rgb_b"])
+    return ws, S_pos, S_dir
+
+
+def _make_kernel(cfg: ModelConfig, compute_dtype):
+    n_layers = cfg.num_hidden_layers
+    skips = set(cfg.skips)
+
+    def kernel(pts_ref, dirs_ref, pos_P, pos_id, pos_sin, pos_cos,
+               dir_P, dir_id, dir_sin, dir_cos, *refs):
+        weight_refs = refs[:-2]
+        rgb_out, sigma_out = refs[-2], refs[-1]
+
+        def w(i):
+            return weight_refs[i][...]
+
+        def encode(x, P_ref, id_ref, sin_ref, cos_ref):
+            # HIGHEST precision: the slot matmul feeds sin/cos at args up
+            # to 2^{L-1}*|x| ~ 600; bf16-pass error there wrecks the high
+            # frequencies. K=3, so the exact path costs nothing.
+            t = jnp.dot(x, P_ref[...], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            return (
+                id_ref[...] * t
+                + sin_ref[...] * jnp.sin(t)
+                + cos_ref[...] * jnp.cos(t)
+            )
+
+        x_enc = encode(pts_ref[...], pos_P, pos_id, pos_sin, pos_cos)
+        h = x_enc
+        idx = 0
+        for i in range(n_layers):
+            h = (
+                jnp.dot(h.astype(compute_dtype), w(idx).astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+                + w(idx + 1)
+            )
+            h = jnp.maximum(h, 0.0)
+            if i in skips:
+                h = jnp.concatenate([x_enc, h], axis=-1)
+            idx += 2
+
+        raw_sigma = (
+            jnp.dot(h.astype(compute_dtype), w(idx).astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + w(idx + 1)
+        )
+        if cfg.sigma_activation == "softplus":
+            sigma = jax.nn.softplus(raw_sigma)
+        else:
+            sigma = jnp.maximum(raw_sigma, 0.0)
+
+        feats = (
+            jnp.dot(h.astype(compute_dtype), w(idx + 2).astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + w(idx + 3)
+        )
+        d_enc = encode(dirs_ref[...], dir_P, dir_id, dir_sin, dir_cos)
+        h_color = jnp.concatenate([feats, d_enc], axis=-1)
+        h_color = (
+            jnp.dot(h_color.astype(compute_dtype),
+                    w(idx + 4).astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + w(idx + 5)
+        )
+        h_color = jnp.maximum(h_color, 0.0)
+        rgb = (
+            jnp.dot(h_color.astype(compute_dtype),
+                    w(idx + 6).astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + w(idx + 7)
+        )
+        rgb_out[...] = jax.nn.sigmoid(rgb)
+        sigma_out[...] = sigma
+
+    return kernel
+
+
+def supports(cfg: ModelConfig) -> bool:
+    return cfg.use_view_dirs
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(
+        shape, functools.partial(lambda n, i: (0,) * n, nd),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
+                   interpret: bool = False):
+    """(N, 3) points/dirs -> (rgb (N, 3), sigma (N, 1)); N % TILE == 0."""
+    n = pts2d.shape[0]
+    compute_dtype = jnp.dtype(dtype_str)
+    weights, S_pos, S_dir = _prepare_weights(params, cfg)
+    pos_tabs = _encoding_tables(cfg.pos_freqs, S_pos)
+    dir_tabs = _encoding_tables(cfg.dir_freqs, S_dir)
+    tabs = [jnp.asarray(t) for t in (*pos_tabs, *dir_tabs)]
+    n_tiles = n // TILE
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        + [_const_spec(t.shape) for t in tabs]
+        + [_const_spec(wt.shape) for wt in weights],
+        out_specs=[
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    rgb, sigma = pl.pallas_call(
+        _make_kernel(cfg, compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts2d, dirs2d, *tabs, *weights)
+    return rgb, sigma
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_with_grad(params, pts, viewdirs, cfg, dtype_str):
+    batch_shape = pts.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    pad = (-n) % TILE
+    pts2d = jnp.pad(pts.reshape(-1, 3), ((0, pad), (0, 0)))
+    dirs2d = jnp.pad(viewdirs.reshape(-1, 3), ((0, pad), (0, 0)))
+    rgb, sigma = _fused_forward(params, pts2d, dirs2d, cfg, dtype_str)
+    return (
+        rgb[:n].reshape(batch_shape + (3,)),
+        sigma[:n].reshape(batch_shape + (1,)),
+    )
+
+
+def _fused_fwd(params, pts, viewdirs, cfg, dtype_str):
+    out = _fused_with_grad(params, pts, viewdirs, cfg, dtype_str)
+    return out, (params, pts, viewdirs)
+
+
+def _fused_bwd(cfg, dtype_str, residuals, cotangents):
+    params, pts, viewdirs = residuals
+    # Backward recomputes through the XLA reference implementation — exact
+    # gradients of the same math, with XLA free to fuse the recompute.
+    _, vjp_fn = jax.vjp(
+        lambda p, x, d: nerf_apply(p, x, d, cfg, jnp.dtype(dtype_str)),
+        params, pts, viewdirs,
+    )
+    return vjp_fn(cotangents)
+
+
+_fused_with_grad.defvjp(_fused_fwd, _fused_bwd)
+
+
+def nerf_apply_fused(
+    params,
+    pts: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+    compute_dtype=jnp.float32,
+):
+    """Drop-in replacement for models.nerf.nerf_apply backed by the fused
+    Pallas kernel (XLA fallback for unsupported configs)."""
+    if not supports(cfg) or viewdirs is None:
+        return nerf_apply(params, pts, viewdirs, cfg, compute_dtype)
+    return _fused_with_grad(params, pts, viewdirs, cfg,
+                            jnp.dtype(compute_dtype).name)

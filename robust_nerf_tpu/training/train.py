@@ -1,0 +1,311 @@
+"""Standard (fixed-pose) training entry point.
+
+Behavioral parity with `python -m noisy_src.train` (reference:
+noisy_src/train.py:307-698): same CLI flags, experiment naming
+({scene}_{noisedesc}_{ts}), output layout, CSV cadence (one row per
+iteration), val/save schedule, checkpoint naming and summary.json keys —
+but executed as scanned jit chunks on a TPU mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import (
+    DataConfig,
+    ModelConfig,
+    NeRFConfig,
+    RenderConfig,
+    TPUConfig,
+    TrainConfig,
+    config_to_dict,
+)
+from ..core.noise import NoiseConfig
+from ..data.banks import build_ray_bank
+from ..data.synthetic import load_scene
+from ..evalx.metrics import LPIPSMetric
+from ..models.nerf import count_params
+from ..parallel.mesh import create_mesh, is_primary_host, replicate
+from ..utils.logger import ExperimentLogger, TrainingMetrics
+from .checkpoints import find_checkpoint, load_checkpoint_raw, restore_into, save_checkpoint
+from .evaluation import evaluate
+from .steps import create_train_state, make_train_chunk
+
+
+def generate_experiment_name(
+    scene: str, noise_config: Optional[NoiseConfig], base_name: str = ""
+) -> str:
+    """{scene}_{noisedesc}_{YYYYmmdd_HHMMSS} (reference: train.py:45-65)."""
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    noise_desc = (
+        str(noise_config)
+        if noise_config is not None and noise_config.has_noise
+        else "clean"
+    )
+    if base_name:
+        return f"{scene}_{base_name}_{noise_desc}_{timestamp}"
+    return f"{scene}_{noise_desc}_{timestamp}"
+
+
+def _chunk_schedule(i: int, total: int, cfg: NeRFConfig) -> int:
+    """Steps to run in the next scan so we stop exactly on log/val/save
+    boundaries (all compile-cached per distinct size)."""
+    t = cfg.train
+    nxt = min(
+        t.log_every - i % t.log_every,
+        t.val_every - i % t.val_every,
+        t.save_every - i % t.save_every,
+        total - i,
+    )
+    return max(1, min(nxt, cfg.tpu.steps_per_scan))
+
+
+def train(
+    config: NeRFConfig,
+    noise_config: Optional[NoiseConfig] = None,
+    val_noise_config: Optional[NoiseConfig] = None,
+) -> Dict:
+    """Run standard NeRF training. Returns the run summary dict.
+
+    Reference semantics: noisy_src/train.py:307-577 — train poses optionally
+    noised at ray-bank build; validation always clean.
+    """
+    cfg = config
+    mesh = create_mesh(cfg.tpu.num_devices)
+
+    if cfg.train.experiment_name in ("auto", "baseline", ""):
+        exp_name = generate_experiment_name(cfg.data.scene_name, noise_config)
+    else:
+        exp_name = cfg.train.experiment_name
+    output_dir = Path(cfg.train.output_dir) / exp_name
+
+    logger = ExperimentLogger(output_dir) if is_primary_host() else None
+    config_dict = config_to_dict(cfg)
+    if logger is not None:
+        logger.log_config(config_dict)
+        with open(output_dir / "experiment_config.json", "w") as f:
+            json.dump(
+                {
+                    "experiment_name": exp_name,
+                    "config": config_dict,
+                    "noise_config": config_to_dict(noise_config) if noise_config else None,
+                    "num_devices": int(np.prod(mesh.devices.shape)),
+                },
+                f,
+                indent=2,
+            )
+
+    # --- Data ---------------------------------------------------------
+    train_scene = load_scene(cfg.data, "train")
+    val_scene = load_scene(cfg.data, "val")
+    bank, used_poses, noise_infos = build_ray_bank(train_scene, noise_config)
+    bank = replicate(bank, mesh)
+    if noise_infos and logger is not None:
+        rots = [i.get("actual_rotation_deg", 0.0) for i in noise_infos]
+        trans = [i.get("actual_translation_norm", 0.0) for i in noise_infos]
+        print(
+            f"Applied pose noise: rot mean {np.mean(rots):.3f} deg, "
+            f"trans mean {np.mean(trans):.4f}"
+        )
+
+    # --- State / resume ------------------------------------------------
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state = create_train_state(key, cfg)
+    start_iter = 0
+    if cfg.train.resume is not None:
+        leaves, meta, _ = load_checkpoint_raw(find_checkpoint(cfg.train.resume))
+        state = restore_into(state, leaves)
+        start_iter = int(meta["iteration"])
+        print(f"Resumed from iteration {start_iter}")
+    state = replicate(state, mesh)
+
+    if logger is not None:
+        n_params = count_params(state.models["coarse"])
+        logger.log_model_info("model_coarse", n_params, n_params)
+        if "fine" in state.models:
+            n_fine = count_params(state.models["fine"])
+            logger.log_model_info("model_fine", n_fine, n_fine)
+
+    lpips_metric = LPIPSMetric()
+    chunk_fns = {}
+    base_key = jax.random.PRNGKey(cfg.train.seed + 1)
+    total = cfg.train.num_iterations
+    best_psnr = float("-inf")
+    i = start_iter
+
+    while i < total:
+        n = _chunk_schedule(i, total, cfg)
+        if n not in chunk_fns:
+            chunk_fns[n] = make_train_chunk(cfg, mesh, steps=n)
+        t0 = time.time()
+        state, metrics = chunk_fns[n](state, bank, base_key)
+        metrics = jax.device_get(metrics)
+        dt = time.time() - t0
+        time_per_iter = dt / n
+        rays_per_sec = cfg.data.batch_size / time_per_iter
+
+        if logger is not None:
+            for j in range(n):
+                logger.log_training(
+                    TrainingMetrics(
+                        iteration=i + j,
+                        loss=float(metrics["loss"][j]),
+                        loss_coarse=float(metrics["loss_coarse"][j]),
+                        loss_fine=float(metrics["loss_fine"][j]),
+                        psnr=float(metrics["psnr"][j]),
+                        learning_rate=float(metrics["learning_rate"][j]),
+                        time_per_iter=time_per_iter,
+                        rays_per_sec=rays_per_sec,
+                    )
+                )
+        i += n
+
+        if i % cfg.train.log_every == 0 or i >= total:
+            print(
+                f"iter {i:7d}/{total} loss {metrics['loss'][-1]:.5f} "
+                f"psnr {metrics['psnr'][-1]:.2f} {rays_per_sec:,.0f} rays/s"
+            )
+
+        if i % cfg.train.val_every == 0 and i < total and logger is not None:
+            val = evaluate(state.models, val_scene, logger, i, cfg,
+                           lpips_metric=lpips_metric)
+            logger.log_validation(val)
+            print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
+            is_best = val.psnr > best_psnr
+            best_psnr = max(best_psnr, val.psnr)
+            save_checkpoint(
+                output_dir, i, state, config_dict,
+                config_to_dict(noise_config) if noise_config else None,
+                metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
+                is_best=is_best,
+            )
+        elif i % cfg.train.save_every == 0 and i < total and logger is not None:
+            save_checkpoint(
+                output_dir, i, state, config_dict,
+                config_to_dict(noise_config) if noise_config else None,
+            )
+
+    # --- Final evaluation over the full val split -----------------------
+    summary: Dict = {}
+    if logger is not None:
+        val = evaluate(
+            state.models, val_scene, logger, total, cfg,
+            num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
+        )
+        logger.log_validation(val)
+        is_best = val.psnr > best_psnr
+        save_checkpoint(
+            output_dir, total, state, config_dict,
+            config_to_dict(noise_config) if noise_config else None,
+            metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
+            is_best=is_best,
+        )
+        logger.save_summary()
+        logger.close()
+        with open(output_dir / "summary.json") as f:
+            summary = json.load(f)
+        print(f"Done. final val PSNR {val.psnr:.2f}, output: {output_dir}")
+    return summary
+
+
+def build_config_from_args(args) -> NeRFConfig:
+    return NeRFConfig(
+        model=ModelConfig(),
+        render=RenderConfig(
+            num_samples=args.num_samples,
+            num_samples_fine=args.num_samples_fine,
+            use_hierarchical=not args.no_hierarchical,
+        ),
+        data=DataConfig(
+            scene_name=args.scene,
+            data_root=args.data_root,
+            img_scale=args.img_scale,
+            batch_size=args.batch_size,
+            source=args.data_source,
+        ),
+        train=TrainConfig(
+            lr=args.lr,
+            num_iterations=args.num_iters,
+            log_every=args.log_every,
+            val_every=args.val_every,
+            save_every=args.save_every,
+            output_dir=args.output_dir,
+            experiment_name=args.exp_name,
+            device=args.device,
+            seed=args.seed,
+            resume=args.resume,
+        ),
+        tpu=TPUConfig(
+            compute_dtype=args.compute_dtype,
+            steps_per_scan=args.steps_per_scan,
+            num_devices=args.num_devices,
+            use_pallas=args.use_pallas,
+        ),
+    )
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--scene", type=str, default="lego")
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--img_scale", type=float, default=0.5)
+    parser.add_argument("--batch_size", type=int, default=1024)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--no_hierarchical", action="store_true")
+    parser.add_argument("--num_samples", type=int, default=64)
+    parser.add_argument("--num_samples_fine", type=int, default=128)
+    parser.add_argument("--log_every", type=int, default=100)
+    parser.add_argument("--save_every", type=int, default=10000)
+    parser.add_argument("--output_dir", type=str, default="outputs")
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="accepted for reference-CLI parity; JAX selects the backend")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint file or experiment dir to resume from")
+    # noise group (reference: train.py:629-637)
+    parser.add_argument("--rotation_noise", type=float, default=0.0)
+    parser.add_argument("--translation_noise", type=float, default=0.0)
+    parser.add_argument("--translation_noise_pct", type=float, default=0.0)
+    parser.add_argument("--noise_seed", type=int, default=None)
+    # TPU extras
+    parser.add_argument("--data_source", type=str, default="blender",
+                        choices=["blender", "synthetic"])
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--steps_per_scan", type=int, default=100)
+    parser.add_argument("--num_devices", type=int, default=0)
+    parser.add_argument("--use_pallas", action="store_true")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        allow_abbrev=False,
+        description="Train NeRF (TPU-native), optionally with noisy camera poses"
+    )
+    add_common_args(parser)
+    parser.add_argument("--num_iters", type=int, default=200000)
+    parser.add_argument("--val_every", type=int, default=5000)
+    parser.add_argument("--exp_name", type=str, default="auto")
+    args = parser.parse_args(argv)
+
+    config = build_config_from_args(args)
+    noise_config = NoiseConfig(
+        rotation_noise_deg=args.rotation_noise,
+        translation_noise=args.translation_noise,
+        translation_noise_pct=args.translation_noise_pct,
+        seed=args.noise_seed,
+    )
+    if not noise_config.has_noise:
+        noise_config = None
+    train(config, noise_config)
+
+
+if __name__ == "__main__":
+    main()

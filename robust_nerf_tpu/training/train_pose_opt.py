@@ -1,0 +1,315 @@
+"""Joint NeRF + camera-pose optimization entry point (the CORE path).
+
+Behavioral parity with `python -m noisy_src.train_pose_opt` (reference:
+noisy_src/train_pose_opt.py:613-1192): clean data loaded, training poses
+optionally noised for initialization, learnable SE(3) deltas jointly
+optimized with the MLPs (delayed activation, separate Adam + lr, L2 delta
+regularization, per-group clipping), pose errors vs ground truth tracked at
+every validation, final_poses bundle saved at the end. Validation renders
+use ground-truth val poses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import (
+    DataConfig,
+    ModelConfig,
+    NeRFConfig,
+    PoseOptConfig,
+    RenderConfig,
+    TPUConfig,
+    TrainConfig,
+    config_to_dict,
+)
+from ..core.noise import NoiseConfig, add_noise_to_poses
+from ..core.se3 import pose_errors
+from ..data.banks import build_pixel_bank
+from ..data.synthetic import load_scene
+from ..evalx.metrics import LPIPSMetric
+from ..models.nerf import count_params
+from ..parallel.mesh import create_mesh, is_primary_host, replicate
+from ..utils.logger import ExperimentLogger, TrainingMetrics
+from .checkpoints import find_checkpoint, load_checkpoint_raw, restore_into, save_checkpoint
+from .evaluation import evaluate
+from .steps import create_pose_opt_state, current_poses, make_pose_opt_chunk
+from .train import _chunk_schedule
+
+
+def generate_experiment_name(
+    scene: str, init_mode: str, noise_config: Optional[NoiseConfig]
+) -> str:
+    """{scene}_poseopt_{init}init_{noisedesc}_{ts}
+    (reference: train_pose_opt.py:274-287)."""
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    noise_desc = (
+        str(noise_config)
+        if noise_config is not None and noise_config.has_noise
+        else "clean"
+    )
+    return f"{scene}_poseopt_{init_mode}init_{noise_desc}_{timestamp}"
+
+
+def _pose_error_stats(current, gt) -> Dict[str, float]:
+    errs = jax.device_get(pose_errors(current, gt))
+    return {
+        "mean_rotation_error_deg": float(errs["mean_rotation_error_deg"]),
+        "max_rotation_error_deg": float(errs["max_rotation_error_deg"]),
+        "std_rotation_error_deg": float(errs["std_rotation_error_deg"]),
+        "mean_translation_error": float(errs["mean_translation_error"]),
+        "max_translation_error": float(errs["max_translation_error"]),
+        "std_translation_error": float(errs["std_translation_error"]),
+    }
+
+
+def train_with_pose_optimization(
+    config: NeRFConfig,
+    noise_config: Optional[NoiseConfig] = None,
+) -> Dict:
+    """Run joint NeRF + pose training. Returns the run summary dict."""
+    cfg = config
+    if cfg.pose_opt is None:
+        cfg.pose_opt = PoseOptConfig()
+    po = cfg.pose_opt
+    mesh = create_mesh(cfg.tpu.num_devices)
+
+    if cfg.train.experiment_name in ("auto", "baseline", ""):
+        exp_name = generate_experiment_name(
+            cfg.data.scene_name, po.init_mode, noise_config
+        )
+    else:
+        exp_name = cfg.train.experiment_name
+    output_dir = Path(cfg.train.output_dir) / exp_name
+    logger = ExperimentLogger(output_dir) if is_primary_host() else None
+    config_dict = config_to_dict(cfg)
+    if logger is not None:
+        logger.log_config(config_dict)
+        with open(output_dir / "experiment_config.json", "w") as f:
+            json.dump(
+                {
+                    "experiment_name": exp_name,
+                    "config": config_dict,
+                    "noise_config": config_to_dict(noise_config) if noise_config else None,
+                    "num_devices": int(np.prod(mesh.devices.shape)),
+                },
+                f,
+                indent=2,
+            )
+
+    # --- Data: CLEAN splits; noise only perturbs the INITIAL poses -------
+    train_scene = load_scene(cfg.data, "train")
+    val_scene = load_scene(cfg.data, "val")
+    gt_poses = np.asarray(train_scene.poses, dtype=np.float32)
+
+    initial_poses = gt_poses
+    if po.init_mode == "noisy" and noise_config is not None and noise_config.has_noise:
+        initial_poses, _ = add_noise_to_poses(gt_poses, noise_config)
+        init_errs = _pose_error_stats(initial_poses, gt_poses)
+        print(
+            f"Initial pose errors: rot {init_errs['mean_rotation_error_deg']:.3f} deg "
+            f"(max {init_errs['max_rotation_error_deg']:.3f}), "
+            f"trans {init_errs['mean_translation_error']:.4f} "
+            f"(max {init_errs['max_translation_error']:.4f})"
+        )
+
+    bank = replicate(build_pixel_bank(train_scene), mesh)
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state = create_pose_opt_state(key, cfg, initial_poses)
+    start_iter = 0
+    if cfg.train.resume is not None:
+        leaves, meta, _ = load_checkpoint_raw(find_checkpoint(cfg.train.resume))
+        state = restore_into(state, leaves)
+        start_iter = int(meta["iteration"])
+        print(f"Resumed from iteration {start_iter}")
+    state = replicate(state, mesh)
+
+    if logger is not None:
+        n_params = count_params(state.models["coarse"])
+        logger.log_model_info("model_coarse", n_params, n_params)
+        if "fine" in state.models:
+            logger.log_model_info("model_fine", n_params, n_params)
+
+    lpips_metric = LPIPSMetric()
+    chunk_fns = {}
+    base_key = jax.random.PRNGKey(cfg.train.seed + 1)
+    total = cfg.train.num_iterations
+    best_psnr = float("-inf")
+    gt_poses_j = np.asarray(gt_poses)
+    i = start_iter
+
+    while i < total:
+        n = _chunk_schedule(i, total, cfg)
+        if n not in chunk_fns:
+            chunk_fns[n] = make_pose_opt_chunk(cfg, mesh, steps=n)
+        t0 = time.time()
+        state, metrics = chunk_fns[n](state, bank, base_key)
+        metrics = jax.device_get(metrics)
+        dt = time.time() - t0
+        time_per_iter = dt / n
+        rays_per_sec = cfg.data.batch_size / time_per_iter
+
+        if logger is not None:
+            for j in range(n):
+                logger.log_training(
+                    TrainingMetrics(
+                        iteration=i + j,
+                        loss=float(metrics["loss"][j]),
+                        loss_coarse=float(metrics["loss_coarse"][j]),
+                        loss_fine=float(metrics["loss_fine"][j]),
+                        psnr=float(metrics["psnr"][j]),
+                        learning_rate=float(metrics["learning_rate"][j]),
+                        time_per_iter=time_per_iter,
+                        rays_per_sec=rays_per_sec,
+                    )
+                )
+        i += n
+
+        if i % cfg.train.log_every == 0 or i >= total:
+            active = bool(metrics["pose_opt_active"][-1] > 0)
+            print(
+                f"iter {i:7d}/{total} loss {metrics['loss'][-1]:.5f} "
+                f"psnr {metrics['psnr'][-1]:.2f} {rays_per_sec:,.0f} rays/s "
+                f"pose_opt={'on' if active else 'off'}"
+            )
+
+        if i % cfg.train.val_every == 0 and i < total and logger is not None:
+            cur = current_poses(state)
+            errs = _pose_error_stats(cur, gt_poses_j)
+            logger.csv.log_row(
+                "pose_errors", {"iteration": i, **errs}
+            )
+            print(
+                f"  pose err @ {i}: rot {errs['mean_rotation_error_deg']:.4f} deg, "
+                f"trans {errs['mean_translation_error']:.5f}"
+            )
+            val = evaluate(
+                state.models, val_scene, logger, i, cfg,
+                lpips_metric=lpips_metric,
+            )
+            logger.log_validation(val)
+            print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
+            is_best = val.psnr > best_psnr
+            best_psnr = max(best_psnr, val.psnr)
+            save_checkpoint(
+                output_dir, i, state, config_dict,
+                config_to_dict(noise_config) if noise_config else None,
+                metrics={"val_psnr": val.psnr, "val_ssim": val.ssim, **errs},
+                is_best=is_best,
+                extra_arrays={
+                    "initial_poses": np.asarray(initial_poses),
+                    "current_poses": np.asarray(jax.device_get(cur)),
+                    "ground_truth_poses": gt_poses,
+                },
+            )
+        elif i % cfg.train.save_every == 0 and i < total and logger is not None:
+            save_checkpoint(
+                output_dir, i, state, config_dict,
+                config_to_dict(noise_config) if noise_config else None,
+            )
+
+    # --- Final: full eval + pose bundle ---------------------------------
+    summary: Dict = {}
+    if logger is not None:
+        cur = np.asarray(jax.device_get(current_poses(state)))
+        errs = _pose_error_stats(cur, gt_poses_j)
+        logger.csv.log_row("pose_errors", {"iteration": total, **errs})
+        val = evaluate(
+            state.models, val_scene, logger, total, cfg,
+            num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
+        )
+        logger.log_validation(val)
+        save_checkpoint(
+            output_dir, total, state, config_dict,
+            config_to_dict(noise_config) if noise_config else None,
+            metrics={"val_psnr": val.psnr, "val_ssim": val.ssim, **errs},
+            is_best=val.psnr > best_psnr,
+            extra_arrays={
+                "initial_poses": np.asarray(initial_poses),
+                "current_poses": cur,
+                "ground_truth_poses": gt_poses,
+            },
+        )
+        # final_poses bundle (reference: train_pose_opt.py:1036-1043)
+        np.savez(
+            output_dir / "final_poses.npz",
+            initial=np.asarray(initial_poses),
+            optimized=cur,
+            ground_truth=gt_poses,
+        )
+        with open(output_dir / "final_pose_errors.json", "w") as f:
+            json.dump(errs, f, indent=2)
+        logger.save_summary(extra={"final_pose_errors": errs})
+        logger.close()
+        with open(output_dir / "summary.json") as f:
+            summary = json.load(f)
+        print(
+            f"Done. final val PSNR {val.psnr:.2f}; pose err rot "
+            f"{errs['mean_rotation_error_deg']:.4f} deg / trans "
+            f"{errs['mean_translation_error']:.5f}; output: {output_dir}"
+        )
+    return summary
+
+
+def main(argv=None):
+    from .train import add_common_args
+
+    parser = argparse.ArgumentParser(
+        allow_abbrev=False,
+        description="Joint NeRF + camera pose optimization (TPU-native)"
+    )
+    add_common_args(parser)
+    parser.add_argument("--num_iters", type=int, default=50000)
+    parser.add_argument("--val_every", type=int, default=2500)
+    parser.add_argument("--exp_name", type=str, default="auto")
+    # pose-opt group (reference: train_pose_opt.py:1098-1114)
+    parser.add_argument("--init_mode", type=str, default="noisy",
+                        choices=["clean", "noisy"])
+    parser.add_argument("--pose_lr", type=float, default=1e-4)
+    parser.add_argument("--pose_opt_delay", type=int, default=1000)
+    parser.add_argument("--no_learn_rotation", action="store_true")
+    parser.add_argument("--no_learn_translation", action="store_true")
+    parser.add_argument("--rotation_reg_weight", type=float, default=0.01)
+    parser.add_argument("--translation_reg_weight", type=float, default=0.001)
+    args = parser.parse_args(argv)
+
+    from .train import build_config_from_args
+
+    config = build_config_from_args(args)
+    config.train.num_iterations = args.num_iters
+    config.train.val_every = args.val_every
+    config.pose_opt = PoseOptConfig(
+        enabled=True,
+        learn_rotation=not args.no_learn_rotation,
+        learn_translation=not args.no_learn_translation,
+        pose_lr=args.pose_lr,
+        pose_opt_delay=args.pose_opt_delay,
+        init_mode=args.init_mode,
+        rotation_noise_deg=args.rotation_noise,
+        translation_noise_pct=args.translation_noise_pct,
+        noise_seed=args.noise_seed,
+        rotation_reg_weight=args.rotation_reg_weight,
+        translation_reg_weight=args.translation_reg_weight,
+    )
+    noise_config = NoiseConfig(
+        rotation_noise_deg=args.rotation_noise,
+        translation_noise=args.translation_noise,
+        translation_noise_pct=args.translation_noise_pct,
+        seed=args.noise_seed,
+    )
+    if not noise_config.has_noise:
+        noise_config = None
+    train_with_pose_optimization(config, noise_config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Inference tests — checkpoint rebuild, test-set eval artifacts, spiral."""
+
+import json
+
+import numpy as np
+import pytest
+
+from robust_nerf_tpu.evalx.inference import (
+    create_spiral_poses,
+    evaluate_test_set,
+    load_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """A tiny completed training run to load checkpoints from."""
+    from robust_nerf_tpu.training.train import main
+
+    out = tmp_path_factory.mktemp("infer_run")
+    main([
+        "--data_source", "synthetic", "--num_iters", "40",
+        "--val_every", "40", "--save_every", "40", "--log_every", "20",
+        "--batch_size", "128", "--num_samples", "8", "--num_samples_fine", "8",
+        "--steps_per_scan", "20", "--output_dir", str(out),
+        "--exp_name", "run",
+    ])
+    return out / "run"
+
+
+class TestSpiralPoses:
+    def test_shapes_and_orthonormal(self):
+        poses = create_spiral_poses(n_frames=24)
+        assert poses.shape == (24, 4, 4)
+        for p in poses:
+            R = p[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+    def test_radius_honored(self):
+        """Reference quirk fixed: radius arg was ignored
+        (inference.py:338-343); here it sets the orbit distance."""
+        poses = create_spiral_poses(n_frames=8, radius=2.5)
+        dists = np.linalg.norm(poses[:, :3, 3], axis=-1)
+        np.testing.assert_allclose(dists, 2.5, atol=1e-5)
+
+    def test_looks_at_origin(self):
+        poses = create_spiral_poses(n_frames=8)
+        for p in poses:
+            view_dir = -p[:3, 2]
+            to_origin = -p[:3, 3] / np.linalg.norm(p[:3, 3])
+            assert np.dot(view_dir, to_origin) > 0.999
+
+
+class TestCheckpointRebuild:
+    def test_load(self, trained_run):
+        models, cfg, meta, extra = load_checkpoint(trained_run)
+        assert "coarse" in models
+        assert cfg.render.num_samples == 8
+        assert meta["iteration"] == 40
+
+    def test_render_from_loaded(self, trained_run):
+        from robust_nerf_tpu.data.synthetic import load_scene
+        from robust_nerf_tpu.ops.rendering import render_image
+
+        models, cfg, _, _ = load_checkpoint(trained_run)
+        scene = load_scene(cfg.data, "val")
+        out = render_image(
+            models, scene.poses[0], scene.H, scene.W, scene.focal,
+            cfg.render, cfg.model, cfg.tpu,
+        )
+        assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+
+class TestEvaluateTestSet:
+    def test_artifacts(self, trained_run, tmp_path):
+        from robust_nerf_tpu.data.synthetic import load_scene
+
+        models, cfg, _, _ = load_checkpoint(trained_run)
+        scene = load_scene(cfg.data, "val")
+        agg = evaluate_test_set(
+            models, cfg, scene, tmp_path, max_images=2, save_images=True
+        )
+        assert (tmp_path / "per_image_metrics.json").exists()
+        assert (tmp_path / "test_metrics.json").exists()
+        assert (tmp_path / "experiment_config.json").exists()
+        assert (tmp_path / "test_images" / "test_000_pred.png").exists()
+        assert (tmp_path / "test_images" / "test_000_depth.png").exists()
+        with open(tmp_path / "per_image_metrics.json") as f:
+            per = json.load(f)
+        assert len(per) == 2
+        assert {"psnr", "ssim", "mse", "render_time"} <= set(per[0].keys())
+        assert agg["num_images"] == 2
+        assert np.isfinite(agg["psnr_mean"])
+
+    def test_noise_at_inference_degrades(self, trained_run, tmp_path):
+        """Inference-time pose noise must reduce PSNR
+        (reference: inference.py:191-199)."""
+        from robust_nerf_tpu.core.noise import NoiseConfig
+        from robust_nerf_tpu.data.synthetic import load_scene
+
+        models, cfg, _, _ = load_checkpoint(trained_run)
+        scene = load_scene(cfg.data, "val")
+        clean = evaluate_test_set(
+            models, cfg, scene, tmp_path / "clean", max_images=2, save_images=False
+        )
+        noisy = evaluate_test_set(
+            models, cfg, scene, tmp_path / "noisy",
+            noise_config=NoiseConfig(rotation_noise_deg=10.0, seed=0),
+            max_images=2, save_images=False,
+        )
+        assert noisy["psnr_mean"] < clean["psnr_mean"]

@@ -1,0 +1,80 @@
+"""Metric tests — PSNR/MSE golden values, SSIM invariants, LPIPS gating."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from robust_nerf_tpu.evalx.metrics import (
+    LPIPSMetric,
+    compute_all_metrics,
+    compute_mse,
+    compute_psnr,
+    compute_ssim,
+    psnr_from_mse,
+)
+
+
+class TestPSNR:
+    def test_known_value(self):
+        a = jnp.zeros((8, 8, 3))
+        b = jnp.full((8, 8, 3), 0.1)
+        # mse = 0.01 -> psnr = 20
+        np.testing.assert_allclose(float(compute_psnr(a, b)), 20.0, atol=1e-4)
+
+    def test_identical_is_large(self):
+        a = jnp.full((8, 8, 3), 0.5)
+        assert float(compute_psnr(a, a)) >= 100.0
+
+    def test_psnr_from_mse(self):
+        np.testing.assert_allclose(float(psnr_from_mse(jnp.float32(0.001))), 30.0, atol=1e-3)
+
+
+class TestMSE:
+    def test_value(self):
+        a = jnp.array([[0.0, 0.5]])
+        b = jnp.array([[1.0, 0.5]])
+        np.testing.assert_allclose(float(compute_mse(a, b)), 0.5, atol=1e-7)
+
+
+class TestSSIM:
+    def test_identical_is_one(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+        np.testing.assert_allclose(float(compute_ssim(img, img)), 1.0, atol=1e-4)
+
+    def test_noise_reduces_ssim(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+        noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1).astype(np.float32)
+        s = float(compute_ssim(jnp.asarray(img), jnp.asarray(noisy)))
+        assert s < 0.95
+
+    def test_grayscale_input(self):
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(size=(24, 24)).astype(np.float32))
+        assert 0.99 < float(compute_ssim(img, img)) <= 1.0001
+
+    def test_constant_shift(self):
+        """Global brightness shift: SSIM < 1 but structure preserved (> 0.5)."""
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0.2, 0.6, size=(32, 32, 3)).astype(np.float32)
+        shifted = (img + 0.2).astype(np.float32)
+        s = float(compute_ssim(jnp.asarray(img), jnp.asarray(shifted)))
+        assert 0.3 < s < 1.0
+
+
+class TestLPIPS:
+    def test_unavailable_degrades_gracefully(self):
+        """Reference availability-guard (metrics.py:131-141): without the
+        lpips package + weights, metric is None, not an exception."""
+        m = LPIPSMetric()
+        if not m.available:
+            assert m(np.zeros((8, 8, 3)), np.ones((8, 8, 3))) is None
+
+
+class TestAllMetrics:
+    def test_keys(self):
+        rng = np.random.default_rng(0)
+        a = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+        out = compute_all_metrics(a, a)
+        assert set(out.keys()) >= {"mse", "psnr", "ssim"}
+        assert out["psnr"] > 60
