@@ -14,6 +14,7 @@ vs_baseline compares against the reference's measured ~9.6k rays/s
 """
 
 import json
+import os
 import time
 
 import jax
@@ -40,10 +41,11 @@ def main():
     on_accel = platform != "cpu"
 
     # TPU-shaped batch: the reference trains 1024 rays/step; one TPU chip is
-    # fed far better at 4096 (same optimizer semantics, 4x fewer dispatches
+    # fed far better at 4096+ (same optimizer semantics, fewer dispatches
     # per epoch). CPU fallback keeps small shapes so the bench still runs.
-    batch = 4096 if on_accel else 512
-    scan = 50 if on_accel else 10
+    # BENCH_BATCH/BENCH_DTYPE/BENCH_REMAT env vars override for tuning runs.
+    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_accel else 512))
+    scan = int(os.environ.get("BENCH_SCAN", 50 if on_accel else 10))
     cfg = NeRFConfig(
         model=ModelConfig(),
         render=RenderConfig(num_samples=64, num_samples_fine=128),
@@ -51,7 +53,11 @@ def main():
         train=TrainConfig(seed=0),
         tpu=TPUConfig(
             steps_per_scan=scan,
-            compute_dtype="bfloat16" if on_accel else "float32",
+            compute_dtype=os.environ.get(
+                "BENCH_DTYPE", "bfloat16" if on_accel else "float32"
+            ),
+            remat=os.environ.get("BENCH_REMAT", "1") == "1",
+            use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
         ),
     )
 

@@ -94,9 +94,15 @@ def count_params(params) -> int:
 
 
 def _matmul(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dtype) -> jnp.ndarray:
-    """MXU matmul in the compute dtype with float32 accumulation."""
+    """MXU matmul in the compute dtype with float32 accumulation.
+
+    The result is cast back to `dtype`: with bfloat16 that halves the HBM
+    footprint of every stored activation (the training step is
+    activation-bandwidth-bound at 192 samples/ray), while accumulation and
+    the bias add stay in float32.
+    """
     y = jnp.dot(h.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
-    return y + b
+    return (y + b).astype(dtype)
 
 
 def nerf_apply(
@@ -111,7 +117,9 @@ def nerf_apply(
     Reference semantics: noisy_src/model.py:145-196 — skip-concat of the
     encoded position after trunk layers in cfg.skips, ReLU sigma, sigmoid RGB.
     """
-    x_enc = positional_encoding(pts, cfg.pos_freqs)
+    # Encoding is computed in f32 (sin at 2^{L-1}*x needs full precision)
+    # and stored in the compute dtype like every other activation.
+    x_enc = positional_encoding(pts, cfg.pos_freqs).astype(compute_dtype)
     h = x_enc
     for i in range(cfg.num_hidden_layers):
         h = _matmul(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"], compute_dtype)
@@ -120,6 +128,7 @@ def nerf_apply(
             h = jnp.concatenate([x_enc, h], axis=-1)
 
     raw_sigma = _matmul(h, params["sigma_w"], params["sigma_b"], compute_dtype)
+    raw_sigma = raw_sigma.astype(jnp.float32)
     if cfg.sigma_activation == "softplus":
         sigma = jax.nn.softplus(raw_sigma)
     else:
@@ -127,12 +136,15 @@ def nerf_apply(
     feats = _matmul(h, params["feat_w"], params["feat_b"], compute_dtype)
 
     if cfg.use_view_dirs and viewdirs is not None:
-        d_enc = positional_encoding(viewdirs, cfg.dir_freqs)
+        d_enc = positional_encoding(viewdirs, cfg.dir_freqs).astype(compute_dtype)
         h_color = jnp.concatenate([feats, d_enc], axis=-1)
     else:
         h_color = feats
     h_color = jax.nn.relu(_matmul(h_color, params["dir_w"], params["dir_b"], compute_dtype))
-    rgb = jax.nn.sigmoid(_matmul(h_color, params["rgb_w"], params["rgb_b"], compute_dtype))
+    rgb = jax.nn.sigmoid(
+        _matmul(h_color, params["rgb_w"], params["rgb_b"], compute_dtype)
+        .astype(jnp.float32)
+    )
     return rgb, sigma
 
 

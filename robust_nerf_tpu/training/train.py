@@ -140,8 +140,15 @@ def train(
     total = cfg.train.num_iterations
     best_psnr = float("-inf")
     i = start_iter
+    profile_dir = getattr(cfg.train, "profile_dir", None)
+    profiling = False
 
     while i < total:
+        if profile_dir and not profiling and i >= start_iter + cfg.tpu.steps_per_scan:
+            # capture one steady-state chunk (jax.profiler trace ->
+            # tensorboard-compatible; SURVEY.md 5.1 TPU-native tracing)
+            jax.profiler.start_trace(str(profile_dir))
+            profiling = True
         n = _chunk_schedule(i, total, cfg)
         if n not in chunk_fns:
             chunk_fns[n] = make_train_chunk(cfg, mesh, steps=n)
@@ -151,6 +158,12 @@ def train(
         dt = time.time() - t0
         time_per_iter = dt / n
         rays_per_sec = cfg.data.batch_size / time_per_iter
+
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_dir = None
+            print(f"profiler trace written (one {n}-step chunk)")
 
         if logger is not None:
             for j in range(n):
@@ -269,6 +282,8 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint file or experiment dir to resume from")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of one steady-state chunk")
     # noise group (reference: train.py:629-637)
     parser.add_argument("--rotation_noise", type=float, default=0.0)
     parser.add_argument("--translation_noise", type=float, default=0.0)
@@ -296,6 +311,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = build_config_from_args(args)
+    if args.profile:
+        config.train.profile_dir = (
+            Path(args.output_dir) / "profile"
+        )
     noise_config = NoiseConfig(
         rotation_noise_deg=args.rotation_noise,
         translation_noise=args.translation_noise,
