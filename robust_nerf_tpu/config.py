@@ -97,6 +97,10 @@ class PoseOptConfig:
     pose_grad_clip: float = 0.1
     rotation_reg_weight: float = 0.01
     translation_reg_weight: float = 0.001
+    # BARF-style coarse-to-fine positional-encoding annealing: ramp the
+    # encoding bands in over this many iterations (0 = off, reference
+    # behavior). Essential for recovering from severe pose noise.
+    freq_anneal_iters: int = 0
 
 
 @dataclass(frozen=True)

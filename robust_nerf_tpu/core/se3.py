@@ -103,6 +103,47 @@ def apply_pose_deltas(
     return poses
 
 
+def align_poses_umeyama(poses_est, poses_gt, with_scale: bool = True):
+    """Globally align estimated camera poses to GT (Umeyama/Procrustes).
+
+    Joint pose+scene optimization only determines poses up to a global
+    SIM(3) gauge — the photometric loss is invariant to rotating/translating
+    /scaling world+cameras together. Standard practice (BARF et al.) is to
+    align camera centers with a closed-form similarity transform before
+    reporting pose errors. Host-side numpy (evaluation only).
+
+    Returns (aligned_poses (N,4,4) np.float32, {"rotation","translation",
+    "scale"}).
+    """
+    import numpy as np
+
+    est = np.asarray(poses_est, dtype=np.float64)
+    gt = np.asarray(poses_gt, dtype=np.float64)
+    x = est[:, :3, 3]            # (N, 3) estimated camera centers
+    y = gt[:, :3, 3]
+    mu_x = x.mean(0)
+    mu_y = y.mean(0)
+    xc = x - mu_x
+    yc = y - mu_y
+    cov = yc.T @ xc / x.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_x = (xc**2).sum() / x.shape[0]
+        s = float(np.trace(np.diag(D) @ S) / var_x) if var_x > 0 else 1.0
+    else:
+        s = 1.0
+    t = mu_y - s * R @ mu_x
+
+    aligned = np.array(est, copy=True)
+    aligned[:, :3, 3] = (s * (R @ x.T)).T + t
+    aligned[:, :3, :3] = np.einsum("ij,njk->nik", R, est[:, :3, :3])
+    return aligned.astype(np.float32), {"rotation": R, "translation": t, "scale": s}
+
+
 def rotation_geodesic_error_deg(R_a: jnp.ndarray, R_b: jnp.ndarray) -> jnp.ndarray:
     """Geodesic angle between rotation matrices, in degrees, batched.
 

@@ -47,11 +47,13 @@ _BLOB_COLORS = np.array(
 )
 
 
-def analytic_field(pts: jnp.ndarray):
+def analytic_field(pts: jnp.ndarray, textured: bool = False):
     """Density + color of the analytic scene at world points (..., 3).
 
     Returns (rgb (..., 3), sigma (...,)). Smooth (Gaussian blobs), so a
-    coarse MLP can fit it in a few hundred steps.
+    coarse MLP can fit it in a few hundred steps. `textured` modulates the
+    albedo with a mid-frequency pattern — pose optimization benchmarks need
+    texture gradients; smooth blobs underconstrain fine alignment.
     """
     centers = jnp.asarray(_BLOB_CENTERS)
     radii = jnp.asarray(_BLOB_RADII)
@@ -69,6 +71,15 @@ def analytic_field(pts: jnp.ndarray):
     sigma = jnp.sum(blob_sigma, axis=-1)
     w = blob_sigma / (jnp.sum(blob_sigma, axis=-1, keepdims=True) + 1e-8)
     rgb = jnp.einsum("...k,kc->...c", w, colors)
+    if textured:
+        tex = (
+            0.7
+            + 0.3
+            * jnp.sin(9.0 * pts[..., 0])
+            * jnp.sin(11.0 * pts[..., 1])
+            * jnp.sin(10.0 * pts[..., 2])
+        )
+        rgb = jnp.clip(rgb * tex[..., None], 0.0, 1.0)
     return rgb, sigma
 
 
@@ -93,10 +104,12 @@ def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarra
     return rot_theta @ rot_phi @ trans
 
 
-@partial(jax.jit, static_argnames=("H", "W", "num_samples", "white_background"))
+@partial(jax.jit, static_argnames=("H", "W", "num_samples", "white_background",
+                                    "textured"))
 def _render_gt_image(
     pose, H: int, W: int, focal: float,
     near: float, far: float, num_samples: int, white_background: bool,
+    textured: bool = False,
 ):
     from ..ops.rendering import raw2outputs
 
@@ -106,7 +119,7 @@ def _render_gt_image(
     z_vals = near * (1.0 - t) + far * t
     z_vals = jnp.broadcast_to(z_vals, (H, W, num_samples))
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
-    rgb, sigma = analytic_field(pts)
+    rgb, sigma = analytic_field(pts, textured=textured)
     out = raw2outputs(
         rgb, sigma, z_vals, rays_d, white_background=white_background
     )
@@ -120,6 +133,7 @@ def make_synthetic_scene(
     radius: float = 4.0,
     num_samples: int = 256,
     white_background: bool = True,
+    textured: bool = False,
 ) -> SceneData:
     """Generate a SceneData with exactly-rendered GT images.
 
@@ -139,7 +153,8 @@ def make_synthetic_scene(
     images = []
     for pose in poses:
         img = _render_gt_image(
-            pose, H, W, float(focal), 2.0, 6.0, num_samples, white_background
+            pose, H, W, float(focal), 2.0, 6.0, num_samples, white_background,
+            textured,
         )
         images.append(np.asarray(img, dtype=np.float32))
     return SceneData(

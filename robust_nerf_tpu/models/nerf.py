@@ -22,11 +22,28 @@ from ..config import ModelConfig
 Params = Dict[str, jnp.ndarray]
 
 
-def positional_encoding(x: jnp.ndarray, num_freqs: int, include_input: bool = True):
+def freq_anneal_weights(num_freqs: int, alpha) -> jnp.ndarray:
+    """BARF-style coarse-to-fine band weights, shape (L,).
+
+    w_k(alpha) = 0 for alpha <= k, 1 for alpha >= k+1, cosine-eased between.
+    alpha in [0, L] is the annealing progress (alpha = L -> all bands on).
+    Gating high-frequency bands early keeps the photometric loss smooth in
+    the camera poses, which is what lets joint pose optimization escape the
+    'scene deforms to explain wrong poses' local minimum.
+    """
+    k = jnp.arange(num_freqs, dtype=jnp.float32)
+    t = jnp.clip(alpha - k, 0.0, 1.0)
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * t))
+
+
+def positional_encoding(
+    x: jnp.ndarray, num_freqs: int, include_input: bool = True, alpha=None
+):
     """gamma(x) = [x, sin(2^0 x), cos(2^0 x), ..., sin(2^{L-1} x), cos(2^{L-1} x)].
 
     Reference semantics: noisy_src/model.py:20-80 (log-spaced bands, input
-    included first). Output dim per channel = 2L+1.
+    included first). Output dim per channel = 2L+1. `alpha` optionally
+    applies BARF frequency annealing (None = all bands, reference behavior).
     """
     out = [x] if include_input else []
     # One broadcasted multiply instead of a per-frequency Python loop:
@@ -36,6 +53,9 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int, include_input: bool = Tr
     sin = jnp.sin(xf)
     cos = jnp.cos(xf)
     sc = jnp.stack([sin, cos], axis=-2)                   # (..., L, 2, C)
+    if alpha is not None:
+        w = freq_anneal_weights(num_freqs, alpha).astype(x.dtype)
+        sc = sc * w[:, None, None]
     sc = sc.reshape(x.shape[:-1] + (2 * num_freqs * x.shape[-1],))
     out.append(sc)
     return jnp.concatenate(out, axis=-1)
@@ -111,6 +131,7 @@ def nerf_apply(
     viewdirs: Optional[jnp.ndarray],   # (..., 3) unit view directions or None
     cfg: ModelConfig,
     compute_dtype=jnp.float32,
+    anneal_alpha=None,                 # BARF progress in [0, pos_freqs]; None = off
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the MLP. Returns (rgb in [0,1] (..., 3), sigma >= 0 (..., 1)).
 
@@ -119,7 +140,9 @@ def nerf_apply(
     """
     # Encoding is computed in f32 (sin at 2^{L-1}*x needs full precision)
     # and stored in the compute dtype like every other activation.
-    x_enc = positional_encoding(pts, cfg.pos_freqs).astype(compute_dtype)
+    x_enc = positional_encoding(
+        pts, cfg.pos_freqs, alpha=anneal_alpha
+    ).astype(compute_dtype)
     h = x_enc
     for i in range(cfg.num_hidden_layers):
         h = _matmul(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"], compute_dtype)
@@ -136,7 +159,14 @@ def nerf_apply(
     feats = _matmul(h, params["feat_w"], params["feat_b"], compute_dtype)
 
     if cfg.use_view_dirs and viewdirs is not None:
-        d_enc = positional_encoding(viewdirs, cfg.dir_freqs).astype(compute_dtype)
+        alpha_dir = (
+            None
+            if anneal_alpha is None
+            else anneal_alpha * (cfg.dir_freqs / cfg.pos_freqs)
+        )
+        d_enc = positional_encoding(
+            viewdirs, cfg.dir_freqs, alpha=alpha_dir
+        ).astype(compute_dtype)
         h_color = jnp.concatenate([feats, d_enc], axis=-1)
     else:
         h_color = feats

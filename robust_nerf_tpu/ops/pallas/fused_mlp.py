@@ -287,10 +287,13 @@ def nerf_apply_fused(
     viewdirs: Optional[jnp.ndarray],
     cfg: ModelConfig,
     compute_dtype=jnp.float32,
+    anneal_alpha=None,
 ):
     """Drop-in replacement for models.nerf.nerf_apply backed by the fused
-    Pallas kernel (XLA fallback for unsupported configs)."""
-    if not supports(cfg) or viewdirs is None:
-        return nerf_apply(params, pts, viewdirs, cfg, compute_dtype)
+    Pallas kernel (XLA fallback for unsupported configs; frequency
+    annealing is an early-training transient, served by the XLA path)."""
+    if not supports(cfg) or viewdirs is None or anneal_alpha is not None:
+        return nerf_apply(params, pts, viewdirs, cfg, compute_dtype,
+                          anneal_alpha)
     return _fused_with_grad(params, pts, viewdirs, cfg,
                             jnp.dtype(compute_dtype).name)

@@ -80,6 +80,7 @@ def render_rays(
     is_train: bool = True,
     compute_dtype=jnp.float32,
     apply_fn=nerf_apply,
+    anneal_alpha=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full coarse->fine render of one ray batch as a single traced program.
 
@@ -104,7 +105,7 @@ def render_rays(
     )
     vdirs_c = jnp.broadcast_to(viewdirs[:, None, :], pts_c.shape)
     rgb_c, sigma_c = apply_fn(
-        models["coarse"], pts_c, vdirs_c, model_cfg, compute_dtype
+        models["coarse"], pts_c, vdirs_c, model_cfg, compute_dtype, anneal_alpha
     )
     out_c = raw2outputs(
         rgb_c, sigma_c, z_vals_c, rays_d,
@@ -124,7 +125,7 @@ def render_rays(
         )
         vdirs_f = jnp.broadcast_to(viewdirs[:, None, :], pts_f.shape)
         rgb_f, sigma_f = apply_fn(
-            models["fine"], pts_f, vdirs_f, model_cfg, compute_dtype
+            models["fine"], pts_f, vdirs_f, model_cfg, compute_dtype, anneal_alpha
         )
         out_f = raw2outputs(
             rgb_f, sigma_f, z_vals_f, rays_d,

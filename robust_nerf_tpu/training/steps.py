@@ -112,7 +112,8 @@ def _apply_fn_for(cfg: NeRFConfig):
     return fn
 
 
-def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn):
+def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn,
+                 anneal_alpha=None):
     """MSE(coarse) + MSE(fine) and per-step metrics
     (reference: train.py:68-113)."""
     out = render_rays(
@@ -125,6 +126,7 @@ def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn):
         is_train=True,
         compute_dtype=jnp.dtype(cfg.tpu.compute_dtype),
         apply_fn=apply_fn,
+        anneal_alpha=anneal_alpha,
     )
     target = batch["target_rgb"]
     mse_c = jnp.mean((out["rgb_coarse"] - target) ** 2)
@@ -181,7 +183,7 @@ def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
 
 
 def _pose_render_loss(models, pose_params, batch, initial_poses, key,
-                      cfg: NeRFConfig, apply_fn):
+                      cfg: NeRFConfig, apply_fn, anneal_alpha=None):
     """Joint loss: photometric + L2 pose-delta regularization, with rays
     regenerated differentiably from current pose estimates
     (reference: train_pose_opt.py:290-390)."""
@@ -197,7 +199,8 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
         "rays_d": rays_d,
         "target_rgb": batch["target_rgb"],
     }
-    loss, metrics = _render_loss(models, rbatch, key, cfg, apply_fn)
+    loss, metrics = _render_loss(models, rbatch, key, cfg, apply_fn,
+                                 anneal_alpha=anneal_alpha)
     po = cfg.pose_opt
     reg = po.rotation_reg_weight * jnp.sum(pose_params["rotation_deltas"] ** 2) \
         + po.translation_reg_weight * jnp.sum(pose_params["translation_deltas"] ** 2)
@@ -231,9 +234,18 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
         batch = constrain_batch(batch, mesh)
         batch["directions"] = bank.directions   # (H, W, 3), replicated
 
+        # BARF coarse-to-fine frequency annealing: alpha ramps 0 -> L over
+        # freq_anneal_iters steps (0 = disabled = reference behavior).
+        if po.freq_anneal_iters > 0:
+            anneal_alpha = cfg.model.pos_freqs * jnp.clip(
+                state.step.astype(jnp.float32) / po.freq_anneal_iters, 0.0, 1.0
+            )
+        else:
+            anneal_alpha = None
         (loss, metrics), (grads, pose_grads) = jax.value_and_grad(
             lambda m, p: _pose_render_loss(
-                m, p, batch, state.initial_poses, k_render, cfg, apply_fn
+                m, p, batch, state.initial_poses, k_render, cfg, apply_fn,
+                anneal_alpha,
             ),
             argnums=(0, 1),
             has_aux=True,

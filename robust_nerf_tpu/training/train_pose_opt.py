@@ -280,6 +280,8 @@ def main(argv=None):
     parser.add_argument("--no_learn_translation", action="store_true")
     parser.add_argument("--rotation_reg_weight", type=float, default=0.01)
     parser.add_argument("--translation_reg_weight", type=float, default=0.001)
+    parser.add_argument("--freq_anneal_iters", type=int, default=0,
+                        help="BARF coarse-to-fine encoding annealing (0 = off)")
     args = parser.parse_args(argv)
 
     from .train import build_config_from_args
@@ -299,6 +301,7 @@ def main(argv=None):
         noise_seed=args.noise_seed,
         rotation_reg_weight=args.rotation_reg_weight,
         translation_reg_weight=args.translation_reg_weight,
+        freq_anneal_iters=args.freq_anneal_iters,
     )
     noise_config = NoiseConfig(
         rotation_noise_deg=args.rotation_noise,

@@ -26,7 +26,7 @@ import numpy as np  # noqa: E402
 
 import robust_nerf_tpu as rn  # noqa: E402
 from robust_nerf_tpu.core.noise import NoiseConfig, add_noise_to_poses  # noqa: E402
-from robust_nerf_tpu.core.se3 import pose_errors  # noqa: E402
+from robust_nerf_tpu.core.se3 import align_poses_umeyama, pose_errors  # noqa: E402
 from robust_nerf_tpu.data.banks import build_pixel_bank  # noqa: E402
 from robust_nerf_tpu.data.synthetic import make_synthetic_scene  # noqa: E402
 from robust_nerf_tpu.evalx.metrics import compute_psnr  # noqa: E402
@@ -48,6 +48,7 @@ def main(argv=None):
     p.add_argument("--translation_noise_pct", type=float, default=5.0)
     p.add_argument("--pose_lr", type=float, default=5e-4)
     p.add_argument("--pose_opt_delay", type=int, default=500)
+    p.add_argument("--freq_anneal_iters", type=int, default=2000)
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--num_samples_fine", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -64,13 +65,15 @@ def main(argv=None):
         pose_lr=args.pose_lr,
         rotation_reg_weight=0.0,       # pure photometric recovery
         translation_reg_weight=0.0,
+        freq_anneal_iters=args.freq_anneal_iters,
     )
 
     scene = make_synthetic_scene(
-        num_images=args.num_images, resolution=args.resolution, num_samples=256
+        num_images=args.num_images, resolution=args.resolution,
+        num_samples=256, textured=True,
     )
     val = make_synthetic_scene(num_images=3, resolution=args.resolution,
-                               split="val", num_samples=256)
+                               split="val", num_samples=256, textured=True)
     gt = np.asarray(scene.poses)
     noisy, _ = add_noise_to_poses(
         gt,
@@ -101,7 +104,12 @@ def main(argv=None):
         )
     wall = time.time() - t0
 
-    errs = jax.device_get(pose_errors(current_poses(state), jnp.asarray(gt)))
+    final = np.asarray(jax.device_get(current_poses(state)))
+    errs = jax.device_get(pose_errors(jnp.asarray(final), jnp.asarray(gt)))
+    # gauge-aligned errors: the photometric loss is invariant to a global
+    # SIM(3), so the recoverable quantity is the RELATIVE pose configuration
+    aligned, _xform = align_poses_umeyama(final, gt)
+    errs_al = jax.device_get(pose_errors(jnp.asarray(aligned), jnp.asarray(gt)))
     psnrs = []
     for k in range(val.images.shape[0]):
         out = render_image(
@@ -110,14 +118,16 @@ def main(argv=None):
         )
         psnrs.append(float(compute_psnr(jnp.asarray(out["rgb"]), val.images[k])))
 
-    rot_final = float(errs["mean_rotation_error_deg"])
-    trans_final = float(errs["mean_translation_error"])
+    rot_final = float(errs_al["mean_rotation_error_deg"])
+    trans_final = float(errs_al["mean_translation_error"])
     trans_pct = 100.0 * trans_final / mean_cam_dist
     result = {
         "initial_rotation_error_deg": float(errs0["mean_rotation_error_deg"]),
         "initial_translation_error": float(errs0["mean_translation_error"]),
-        "final_rotation_error_deg": rot_final,
-        "final_translation_error": trans_final,
+        "final_rotation_error_deg_raw": float(errs["mean_rotation_error_deg"]),
+        "final_translation_error_raw": float(errs["mean_translation_error"]),
+        "final_rotation_error_deg_aligned": rot_final,
+        "final_translation_error_aligned": trans_final,
         "final_translation_error_pct_of_distance": trans_pct,
         "val_psnr": float(np.mean(psnrs)),
         "iters": args.iters,

@@ -80,7 +80,8 @@ def exp_5_severe_noise(args):
     cfg = _base_config(args, args.num_iters)
     cfg.pose_opt = PoseOptConfig(init_mode="noisy", rotation_noise_deg=5.0,
                                  translation_noise_pct=2.0, pose_lr=2e-4,
-                                 pose_opt_delay=500, noise_seed=42)
+                                 pose_opt_delay=500, noise_seed=42,
+                                 freq_anneal_iters=5000)
     return cfg, NoiseConfig(rotation_noise_deg=5.0, translation_noise_pct=2.0,
                             seed=42)
 

@@ -122,3 +122,44 @@ class TestNeRFModel:
         d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (64, 1))
         _, sigma = nerf_apply(params, x, d, cfg)
         assert float(sigma.min()) >= 0.0
+
+
+class TestFreqAnnealing:
+    """BARF coarse-to-fine encoding annealing (pose-opt robustness)."""
+
+    def test_weights_endpoints(self):
+        from robust_nerf_tpu.models.nerf import freq_anneal_weights
+
+        w0 = np.asarray(freq_anneal_weights(10, 0.0))
+        np.testing.assert_allclose(w0, 0.0, atol=1e-7)
+        wL = np.asarray(freq_anneal_weights(10, 10.0))
+        np.testing.assert_allclose(wL, 1.0, atol=1e-7)
+
+    def test_weights_progressive(self):
+        from robust_nerf_tpu.models.nerf import freq_anneal_weights
+
+        w = np.asarray(freq_anneal_weights(10, 3.5))
+        assert np.allclose(w[:3], 1.0)       # bands below alpha fully on
+        assert 0.0 < w[3] < 1.0              # transitioning band
+        assert np.allclose(w[4:], 0.0)       # bands above alpha off
+
+    def test_encoding_alpha_zero_keeps_input(self):
+        x = jnp.array([[0.3, -0.5, 0.7]])
+        enc = np.asarray(positional_encoding(x, 4, alpha=0.0))
+        np.testing.assert_allclose(enc[0, :3], [0.3, -0.5, 0.7], atol=1e-6)
+        np.testing.assert_allclose(enc[0, 3:], 0.0, atol=1e-6)
+
+    def test_encoding_alpha_full_matches_plain(self):
+        x = jnp.array([[0.3, -0.5, 0.7]])
+        a = np.asarray(positional_encoding(x, 4, alpha=4.0))
+        b = np.asarray(positional_encoding(x, 4))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_apply_with_annealing(self):
+        cfg = ModelConfig()
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((16, 3))
+        d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (16, 1))
+        rgb, sigma = nerf_apply(params, x, d, cfg, anneal_alpha=jnp.float32(2.5))
+        assert rgb.shape == (16, 3)
+        assert np.all(np.isfinite(np.asarray(rgb)))

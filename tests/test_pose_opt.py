@@ -125,3 +125,18 @@ class TestPoseOptCLI:
         data = np.load(out / "final_poses.npz")
         assert set(data.files) == {"initial", "optimized", "ground_truth"}
         assert not np.allclose(data["initial"], data["ground_truth"])
+
+
+class TestFreqAnnealedPoseOpt:
+    def test_annealed_chunk_runs(self, tiny_scene, tiny_config):
+        cfg = tiny_config
+        cfg.pose_opt = PoseOptConfig(pose_opt_delay=0, freq_anneal_iters=100)
+        bank = build_pixel_bank(tiny_scene)
+        noisy, _ = add_noise_to_poses(
+            tiny_scene.poses, NoiseConfig(rotation_noise_deg=2.0, seed=0)
+        )
+        state = create_pose_opt_state(jax.random.PRNGKey(0), cfg, jnp.asarray(noisy))
+        chunk = make_pose_opt_chunk(cfg, steps=10)
+        state, m = chunk(state, bank, jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(m["loss"])))
+        assert float(jnp.linalg.norm(state.pose_params["rotation_deltas"])) > 0

@@ -145,3 +145,35 @@ class TestPoseErrors:
         b = jnp.eye(4).at[:3, 3].set(jnp.array([3.0, 4.0, 0.0]))[None]
         errs = pose_errors(a, b)
         np.testing.assert_allclose(float(errs["mean_translation_error"]), 5.0, atol=1e-5)
+
+
+class TestUmeyamaAlignment:
+    def test_pure_gauge_removed(self):
+        """A global SIM(3) applied to all poses must align away exactly."""
+        from robust_nerf_tpu.core.se3 import align_poses_umeyama
+
+        rng = np.random.default_rng(0)
+        gt = np.tile(np.eye(4, dtype=np.float32), (10, 1, 1))
+        for i in range(10):
+            gt[i, :3, :3] = _rodrigues_np(rng.standard_normal(3)).astype(np.float32)
+            gt[i, :3, 3] = rng.standard_normal(3) * 4
+        Rg = _rodrigues_np(np.array([0.02, 0.01, -0.015]))
+        est = np.array(gt, copy=True)
+        est[:, :3, 3] = (1.05 * (Rg @ gt[:, :3, 3].T)).T + [0.3, -0.2, 0.1]
+        est[:, :3, :3] = np.einsum("ij,njk->nik", Rg, gt[:, :3, :3])
+
+        aligned, xform = align_poses_umeyama(est, gt)
+        errs = pose_errors(jnp.asarray(aligned), jnp.asarray(gt))
+        assert float(errs["mean_rotation_error_deg"]) < 1e-3
+        assert float(errs["mean_translation_error"]) < 1e-5
+        np.testing.assert_allclose(xform["scale"], 1 / 1.05, rtol=1e-5)
+
+    def test_identity_when_aligned(self):
+        from robust_nerf_tpu.core.se3 import align_poses_umeyama
+
+        rng = np.random.default_rng(1)
+        gt = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+        gt[:, :3, 3] = rng.standard_normal((8, 3)) * 3
+        aligned, xform = align_poses_umeyama(gt, gt)
+        np.testing.assert_allclose(aligned, gt, atol=1e-5)
+        np.testing.assert_allclose(xform["scale"], 1.0, atol=1e-6)
