@@ -31,6 +31,7 @@ from .core.se3 import (
     log_so3,
     skew,
     apply_pose_deltas,
+    align_poses_umeyama,
     pose_errors,
     rotation_geodesic_error_deg,
 )
@@ -44,6 +45,7 @@ from .core.noise import (
 from .models.nerf import (
     positional_encoding,
     posenc_output_dim,
+    freq_anneal_weights,
     init_nerf_params,
     nerf_apply,
     create_nerf,
@@ -67,3 +69,20 @@ from .data.banks import (
 )
 
 __version__ = "0.1.0"
+
+from .evalx.metrics import (
+    LPIPSMetric,
+    compute_all_metrics,
+    compute_mse,
+    compute_psnr,
+    compute_ssim,
+)
+from .utils.logger import (
+    CSVLogger,
+    ExperimentLogger,
+    TensorBoardLogger,
+    TrainingMetrics,
+    ValidationMetrics,
+    depth_to_colormap,
+)
+from .utils.train_utils import AverageMeter, EarlyStopping

@@ -61,6 +61,7 @@ class DataConfig:
     synthetic_num_train: int = 20
     synthetic_num_val: int = 5
     synthetic_resolution: int = 64
+    synthetic_textured: bool = False
 
 
 @dataclass

@@ -175,7 +175,10 @@ def load_scene(data_cfg, split: str) -> SceneData:
             else data_cfg.synthetic_num_val
         )
         return make_synthetic_scene(
-            num_images=num, resolution=data_cfg.synthetic_resolution, split=split
+            num_images=num,
+            resolution=data_cfg.synthetic_resolution,
+            split=split,
+            textured=getattr(data_cfg, "synthetic_textured", False),
         )
     from .blender import load_blender_data
 

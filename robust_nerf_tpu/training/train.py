@@ -243,6 +243,8 @@ def build_config_from_args(args) -> NeRFConfig:
             img_scale=args.img_scale,
             batch_size=args.batch_size,
             source=args.data_source,
+            synthetic_resolution=args.synthetic_resolution,
+            synthetic_textured=args.synthetic_textured,
         ),
         train=TrainConfig(
             lr=args.lr,
@@ -292,11 +294,30 @@ def add_common_args(parser: argparse.ArgumentParser):
     # TPU extras
     parser.add_argument("--data_source", type=str, default="blender",
                         choices=["blender", "synthetic"])
+    parser.add_argument("--synthetic_resolution", type=int, default=64,
+                        help="procedural-scene image resolution")
+    parser.add_argument("--synthetic_textured", action="store_true",
+                        help="texture the procedural scene's albedo")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--steps_per_scan", type=int, default=100)
     parser.add_argument("--num_devices", type=int, default=0)
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for pod/"
+                             "multi-process runs (coordinator from env)")
     parser.add_argument("--use_pallas", action="store_true")
+
+
+def maybe_init_multihost(args):
+    """Pod-scale entry: one jax process per host, coordinator from the
+    standard JAX env vars. Logging/checkpointing stays on process 0
+    (parallel/mesh.is_primary_host)."""
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.device_count()} global devices"
+        )
 
 
 def main(argv=None):
@@ -309,6 +330,7 @@ def main(argv=None):
     parser.add_argument("--val_every", type=int, default=5000)
     parser.add_argument("--exp_name", type=str, default="auto")
     args = parser.parse_args(argv)
+    maybe_init_multihost(args)
 
     config = build_config_from_args(args)
     if args.profile:

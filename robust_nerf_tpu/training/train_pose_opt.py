@@ -284,7 +284,9 @@ def main(argv=None):
                         help="BARF coarse-to-fine encoding annealing (0 = off)")
     args = parser.parse_args(argv)
 
-    from .train import build_config_from_args
+    from .train import build_config_from_args, maybe_init_multihost
+
+    maybe_init_multihost(args)
 
     config = build_config_from_args(args)
     config.train.num_iterations = args.num_iters

@@ -142,3 +142,24 @@ class TestTrainCLI:
             "iteration", "loss", "loss_coarse", "loss_fine", "psnr",
             "learning_rate", "time_per_iter", "rays_per_sec",
         }
+
+
+class TestSyntheticFlags:
+    def test_resolution_and_texture_flags(self, tmp_path):
+        """--synthetic_resolution/--synthetic_textured reach the data layer."""
+        from robust_nerf_tpu.training.train import main
+
+        main([
+            "--data_source", "synthetic", "--synthetic_resolution", "16",
+            "--synthetic_textured",
+            "--num_iters", "4", "--val_every", "4", "--save_every", "4",
+            "--log_every", "2", "--batch_size", "64", "--num_samples", "4",
+            "--num_samples_fine", "4", "--steps_per_scan", "2",
+            "--output_dir", str(tmp_path), "--exp_name", "flags",
+        ])
+        import json
+
+        with open(tmp_path / "flags" / "config.json") as f:
+            cfg = json.load(f)
+        assert cfg["data"]["synthetic_resolution"] == 16
+        assert cfg["data"]["synthetic_textured"] is True
