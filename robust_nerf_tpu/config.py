@@ -121,7 +121,11 @@ class TPUConfig:
     num_devices: int = 0
     # Use the fused Pallas posenc+MLP kernel where available.
     use_pallas: bool = False
-    remat: bool = True             # rematerialize MLP activations in backward
+    # Rematerialize MLP activations in the backward pass. With bf16
+    # activations the full-pipeline step fits HBM comfortably at default
+    # batch sizes and skipping the recompute is ~20% faster; enable for
+    # very large batches.
+    remat: bool = False
 
 
 @dataclass

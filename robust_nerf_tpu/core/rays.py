@@ -145,10 +145,12 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, batch_shape + (num_samples,))
 
-    # searchsorted 'right' along the last axis, vectorized over batch dims.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
-        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, num_samples)
-    ).reshape(batch_shape + (num_samples,))
+    # Branchless searchsorted('right'): count cdf entries <= u. One
+    # broadcasted compare + reduce over the (small) bin axis vectorizes on
+    # the VPU, where a per-row binary search serializes. Identical result.
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    )
 
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
