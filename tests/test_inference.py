@@ -109,3 +109,48 @@ class TestEvaluateTestSet:
             max_images=2, save_images=False,
         )
         assert noisy["psnr_mean"] < clean["psnr_mean"]
+
+
+class TestRenderVideo:
+    def test_frames_written_without_ffmpeg(self, trained_run, tmp_path):
+        """Video path: frames render; missing ffmpeg degrades to kept PNGs
+        (reference: inference.py:438-441)."""
+        from robust_nerf_tpu.data.synthetic import load_scene
+        from robust_nerf_tpu.evalx.inference import (
+            create_spiral_poses,
+            load_checkpoint,
+            render_video,
+        )
+
+        models, cfg, _, _ = load_checkpoint(trained_run)
+        scene = load_scene(cfg.data, "val")
+        poses = create_spiral_poses(n_frames=3)
+        out = render_video(
+            models, cfg, poses, scene.H, scene.W, scene.focal,
+            tmp_path, fps=5,
+        )
+        frames = sorted((tmp_path / "frames").glob("frame_*.png"))
+        assert len(frames) == 3
+        assert (tmp_path / "video_config.json").exists()
+
+    def test_video_noise_changes_frames(self, trained_run, tmp_path):
+        from robust_nerf_tpu.core.noise import NoiseConfig
+        from robust_nerf_tpu.data.synthetic import load_scene
+        from robust_nerf_tpu.evalx.inference import (
+            create_spiral_poses,
+            load_checkpoint,
+            render_video,
+        )
+        from PIL import Image
+
+        models, cfg, _, _ = load_checkpoint(trained_run)
+        scene = load_scene(cfg.data, "val")
+        poses = create_spiral_poses(n_frames=1)
+        render_video(models, cfg, poses, scene.H, scene.W, scene.focal,
+                     tmp_path / "clean", fps=5)
+        render_video(models, cfg, poses, scene.H, scene.W, scene.focal,
+                     tmp_path / "noisy", fps=5,
+                     noise_config=NoiseConfig(rotation_noise_deg=10.0, seed=0))
+        a = np.asarray(Image.open(tmp_path / "clean" / "frames" / "frame_0000.png"))
+        b = np.asarray(Image.open(tmp_path / "noisy" / "frames" / "frame_0000.png"))
+        assert not np.array_equal(a, b)
