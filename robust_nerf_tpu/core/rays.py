@@ -155,10 +155,21 @@ def sample_pdf(
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    # Gather via one-hot contraction: per-element take_along_axis lowers to
+    # slow scatter/gather on TPU; a (S, n_bins) one-hot matmul rides the
+    # MXU instead (n_bins is small, so the extra FLOPs are negligible).
+    n_edges = cdf.shape[-1]
+    n_bins = bins.shape[-1]
+    oh_below_e = jax.nn.one_hot(below, n_edges, dtype=cdf.dtype)
+    oh_above_e = jax.nn.one_hot(above, n_edges, dtype=cdf.dtype)
+    cdf_below = jnp.einsum("...sb,...b->...s", oh_below_e, cdf)
+    cdf_above = jnp.einsum("...sb,...b->...s", oh_above_e, cdf)
+    oh_below_b = jax.nn.one_hot(jnp.minimum(below, n_bins - 1), n_bins,
+                                dtype=bins.dtype)
+    oh_above_b = jax.nn.one_hot(jnp.minimum(above, n_bins - 1), n_bins,
+                                dtype=bins.dtype)
+    bins_below = jnp.einsum("...sb,...b->...s", oh_below_b, bins)
+    bins_above = jnp.einsum("...sb,...b->...s", oh_above_b, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
