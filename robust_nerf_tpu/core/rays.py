@@ -145,31 +145,23 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, batch_shape + (num_samples,))
 
-    # Branchless searchsorted('right'): count cdf entries <= u. One
-    # broadcasted compare + reduce over the (small) bin axis vectorizes on
-    # the VPU, where a per-row binary search serializes. Identical result.
-    inds = jnp.sum(
-        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
-    )
-
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-
-    # Gather via one-hot contraction: per-element take_along_axis lowers to
-    # slow scatter/gather on TPU; a (S, n_bins) one-hot matmul rides the
-    # MXU instead (n_bins is small, so the extra FLOPs are negligible).
-    n_edges = cdf.shape[-1]
-    n_bins = bins.shape[-1]
-    oh_below_e = jax.nn.one_hot(below, n_edges, dtype=cdf.dtype)
-    oh_above_e = jax.nn.one_hot(above, n_edges, dtype=cdf.dtype)
-    cdf_below = jnp.einsum("...sb,...b->...s", oh_below_e, cdf)
-    cdf_above = jnp.einsum("...sb,...b->...s", oh_above_e, cdf)
-    oh_below_b = jax.nn.one_hot(jnp.minimum(below, n_bins - 1), n_bins,
-                                dtype=bins.dtype)
-    oh_above_b = jax.nn.one_hot(jnp.minimum(above, n_bins - 1), n_bins,
-                                dtype=bins.dtype)
-    bins_below = jnp.einsum("...sb,...b->...s", oh_below_b, bins)
-    bins_above = jnp.einsum("...sb,...b->...s", oh_above_b, bins)
+    # Branchless CDF inversion via masked reductions over ONE compare mask.
+    # searchsorted('right') would pick index i = #{b: cdf_b <= u}; because
+    # cdf and bins are sorted, the four gathered interpolants are exactly:
+    #   cdf_below  = max{cdf_b  : cdf_b <= u}          (cdf_0 = 0 anchors it)
+    #   cdf_above  = min{cdf_b  : cdf_b >  u}          (fallback: last edge)
+    #   bins_below / bins_above: same mask — bins and cdf share length N
+    #   (cdf is the 0-prepended cumsum of the N-1 interior weights).
+    # One (S, N) bool tensor + 4 VPU reductions — no per-element gathers
+    # (slow on TPU) and no materialized one-hot tensors.
+    mask = cdf[..., None, :] <= u[..., :, None]        # (..., S, N)
+    big = jnp.float32(1e10)
+    cdf_below = jnp.max(jnp.where(mask, cdf[..., None, :], -big), axis=-1)
+    cdf_above = jnp.min(jnp.where(mask, big, cdf[..., None, :]), axis=-1)
+    cdf_above = jnp.where(cdf_above >= big, cdf[..., -1:], cdf_above)
+    bins_below = jnp.max(jnp.where(mask, bins[..., None, :], -big), axis=-1)
+    bins_above = jnp.min(jnp.where(mask, big, bins[..., None, :]), axis=-1)
+    bins_above = jnp.where(bins_above >= big, bins[..., -1:], bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
