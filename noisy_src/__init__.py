@@ -67,3 +67,16 @@ from robust_nerf_tpu.training.train_pose_opt import train_with_pose_optimization
 
 # BlenderData is the reference's name for the loaded-scene container
 BlenderData = SceneData
+
+# reference-named class wrappers over the functional core
+from noisy_src.compat import (
+    NeRF,
+    NeRFRenderer,
+    PositionalEncoding,
+    PixelDataset,
+    PixelSampler,
+    RayDataset,
+    RaySampler,
+    create_data_loaders,
+    create_pixel_dataset,
+)

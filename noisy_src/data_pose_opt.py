@@ -3,3 +3,8 @@ from robust_nerf_tpu.data.banks import (  # noqa: F401
     build_pixel_bank,
     sample_pixel_batch,
 )
+from noisy_src.compat import (  # noqa: F401,E402
+    PixelDataset,
+    PixelSampler,
+    create_pixel_dataset,
+)

@@ -4,3 +4,4 @@ from robust_nerf_tpu.models.nerf import (  # noqa: F401
     nerf_apply,
     positional_encoding,
 )
+from noisy_src.compat import NeRF, PositionalEncoding  # noqa: F401,E402
