@@ -70,16 +70,18 @@ def main():
     chunk = make_train_chunk(cfg, steps=scan)
     key = jax.random.PRNGKey(1)
 
-    # warmup/compile
+    # warmup/compile. Sync via a HOST VALUE FETCH, not block_until_ready:
+    # over the axon tunnel block_until_ready returns early (CLAUDE.md);
+    # only pulling a value back to the host reliably waits for the step.
     state, m = chunk(state, bank, key)
-    jax.block_until_ready(m["loss"])
+    float(np.asarray(m["loss"]).sum())
 
-    # timed: several chunks, take the best (steady-state) rate
+    # timed: several chunks, take the median (steady-state) rate
     rates = []
     for _ in range(5 if on_accel else 2):
         t0 = time.perf_counter()
         state, m = chunk(state, bank, key)
-        jax.block_until_ready(m["loss"])
+        float(np.asarray(m["loss"]).sum())
         dt = time.perf_counter() - t0
         rates.append(scan * batch / dt)
     value = float(np.median(rates))

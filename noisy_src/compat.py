@@ -112,22 +112,57 @@ class RayDataset:
 
 
 class RaySampler:
-    """Random ray-batch iterator (reference: noisy_src/data.py:264-321)."""
+    """Random ray-batch sampler + epoch iterator
+    (reference: noisy_src/data.py:264-321).
 
-    def __init__(self, dataset: RayDataset, batch_size: int = 1024, seed: int = 0):
+    `sample_batch()` draws with replacement (the training loops' path);
+    iterating walks ONE shuffled epoch in batch_size slices — the last
+    batch may be partial — then raises StopIteration, and `len(sampler)`
+    is ceil(n_rays / batch_size), exactly like the reference.
+    """
+
+    def __init__(self, dataset: RayDataset, batch_size: int = 1024,
+                 shuffle: bool = True, seed: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.n_rays = dataset.n_rays
         self._key = jax.random.PRNGKey(seed)
+        self._reset_indices()
+
+    def _reset_indices(self):
+        if self.shuffle:
+            self._key, sub = jax.random.split(self._key)
+            self._indices = jax.random.permutation(sub, self.n_rays)
+        else:
+            import jax.numpy as jnp
+
+            self._indices = jnp.arange(self.n_rays)
+        self._current = 0
 
     def sample_batch(self):
         self._key, sub = jax.random.split(self._key)
         return sample_ray_batch(self.dataset.bank, sub, self.batch_size)
 
     def __iter__(self):
+        self._reset_indices()
         return self
 
     def __next__(self):
-        return self.sample_batch()
+        if self._current >= self.n_rays:
+            raise StopIteration
+        end = min(self._current + self.batch_size, self.n_rays)
+        idx = self._indices[self._current:end]
+        self._current = end
+        bank = self.dataset.bank
+        return {
+            "rays_o": bank.rays_o[idx],
+            "rays_d": bank.rays_d[idx],
+            "target_rgb": bank.rgb[idx],
+        }
+
+    def __len__(self) -> int:
+        return (self.n_rays + self.batch_size - 1) // self.batch_size
 
 
 class PixelDataset:
@@ -155,12 +190,6 @@ class PixelSampler:
     def sample_batch(self):
         self._key, sub = jax.random.split(self._key)
         return sample_pixel_batch(self.dataset.bank, sub, self.batch_size)
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        return self.sample_batch()
 
 
 def create_data_loaders(config, noise_config: Optional[NoiseConfig] = None,

@@ -136,6 +136,11 @@ def sample_pdf(
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
+    # Pin the CDF endpoint to exactly 1.0: f32 cumsum rounding can land the
+    # last entry a ULP above 1, which would make u=1.0 (det mode's last
+    # sample) miss the final bin. Normalizing by the final value keeps the
+    # CDF monotone and matches the reference's recorded det-mode outputs.
+    cdf = cdf / cdf[..., -1:]
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
     batch_shape = cdf.shape[:-1]

@@ -54,12 +54,38 @@ def make_lr_schedule(lr: float, lr_decay: int):
     )
 
 
-def make_optimizer(cfg: NeRFConfig):
+def clip_by_norm_per_subtree(max_norm: float) -> optax.GradientTransformation:
+    """Clip each TOP-LEVEL subtree (e.g. "coarse"/"fine") to its own global
+    norm — the reference's pose-opt path clips each model separately
+    (noisy_src/train_pose_opt.py:398-401), unlike the standard path which
+    clips the combined renderer (train.py:115). Mirrors torch
+    clip_grad_norm_: scale = min(1, max_norm / (norm + 1e-6))."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_subtree(tree):
+            g_norm = optax.global_norm(tree)
+            scale = jnp.minimum(1.0, max_norm / (g_norm + 1e-6))
+            return jax.tree_util.tree_map(lambda g: g * scale, tree)
+
+        return {k: clip_subtree(v) for k, v in updates.items()}, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg: NeRFConfig, per_model_clip: bool = False):
     schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.train.grad_clip),
-        optax.adam(schedule),
+    clip = (
+        clip_by_norm_per_subtree(cfg.train.grad_clip)
+        if per_model_clip
+        else optax.clip_by_global_norm(cfg.train.grad_clip)
     )
+    return optax.chain(clip, optax.adam(schedule))
 
 
 def make_pose_optimizer(cfg: NeRFConfig):
@@ -94,7 +120,7 @@ def create_pose_opt_state(
         models=models,
         pose_params=pose_params,
         initial_poses=jnp.asarray(initial_poses, jnp.float32),
-        opt_state=make_optimizer(cfg).init(models),
+        opt_state=make_optimizer(cfg, per_model_clip=True).init(models),
         pose_opt_state=make_pose_optimizer(cfg).init(pose_params),
         step=jnp.zeros((), jnp.int32),
     )
@@ -136,7 +162,8 @@ def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn,
         mse_f = jnp.mean((out["rgb_fine"] - target) ** 2)
         loss = loss + mse_f
         metrics["loss_fine"] = mse_f
-        metrics["psnr"] = psnr_from_mse(mse_f)
+        metrics["psnr_fine"] = psnr_from_mse(mse_f)
+        metrics["psnr"] = metrics["psnr_fine"]
     else:
         metrics["loss_fine"] = jnp.zeros(())
         metrics["psnr"] = metrics["psnr_coarse"]
@@ -183,10 +210,16 @@ def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
 
 
 def _pose_render_loss(models, pose_params, batch, initial_poses, key,
-                      cfg: NeRFConfig, apply_fn, anneal_alpha=None):
+                      cfg: NeRFConfig, apply_fn, anneal_alpha=None,
+                      rot_reg_on=True, trans_reg_on=True):
     """Joint loss: photometric + L2 pose-delta regularization, with rays
     regenerated differentiably from current pose estimates
-    (reference: train_pose_opt.py:290-390)."""
+    (reference: train_pose_opt.py:290-390).
+
+    Regularization uses the MEAN of squared deltas and is gated on the
+    pose-opt delay + per-component learn flags + weight>0, exactly like the
+    reference (train_pose_opt.py:377-390). rot_reg_on/trans_reg_on are
+    traced booleans carrying that gate."""
     poses = apply_pose_deltas(
         initial_poses, pose_params["rotation_deltas"], pose_params["translation_deltas"]
     )
@@ -202,9 +235,15 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
     loss, metrics = _render_loss(models, rbatch, key, cfg, apply_fn,
                                  anneal_alpha=anneal_alpha)
     po = cfg.pose_opt
-    reg = po.rotation_reg_weight * jnp.sum(pose_params["rotation_deltas"] ** 2) \
-        + po.translation_reg_weight * jnp.sum(pose_params["translation_deltas"] ** 2)
-    metrics["pose_reg"] = reg
+    rotation_reg = jnp.mean(pose_params["rotation_deltas"] ** 2)
+    translation_reg = jnp.mean(pose_params["translation_deltas"] ** 2)
+    reg = (
+        jnp.where(rot_reg_on, po.rotation_reg_weight * rotation_reg, 0.0)
+        + jnp.where(trans_reg_on, po.translation_reg_weight * translation_reg, 0.0)
+    )
+    metrics["rotation_reg"] = rotation_reg
+    metrics["translation_reg"] = translation_reg
+    metrics["pose_reg_loss"] = reg
     total = loss + reg
     metrics["loss"] = total
     return total, metrics
@@ -220,7 +259,9 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
     without any control flow in the compiled program.
     """
     n_steps = steps or cfg.tpu.steps_per_scan
-    optimizer = make_optimizer(cfg)
+    # Per-model clip for the pose-opt path: reference clips coarse and fine
+    # separately at max_norm 1.0 each (train_pose_opt.py:398-401).
+    optimizer = make_optimizer(cfg, per_model_clip=True)
     pose_optimizer = make_pose_optimizer(cfg)
     schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
     batch_size = cfg.data.batch_size
@@ -242,20 +283,27 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
             )
         else:
             anneal_alpha = None
+
+        # Staged gate + per-component freezing, computed up front so the
+        # loss can gate the regularization term the same way the reference
+        # gates it on `optimize_poses` (train_pose_opt.py:378-386).
+        gate = state.step >= po.pose_opt_delay
+        rot_on = jnp.logical_and(gate, po.learn_rotation)
+        trans_on = jnp.logical_and(gate, po.learn_translation)
+        rot_reg_on = jnp.logical_and(rot_on, po.rotation_reg_weight > 0)
+        trans_reg_on = jnp.logical_and(trans_on, po.translation_reg_weight > 0)
+
         (loss, metrics), (grads, pose_grads) = jax.value_and_grad(
             lambda m, p: _pose_render_loss(
                 m, p, batch, state.initial_poses, k_render, cfg, apply_fn,
-                anneal_alpha,
+                anneal_alpha, rot_reg_on, trans_reg_on,
             ),
             argnums=(0, 1),
             has_aux=True,
         )(state.models, state.pose_params)
 
-        # Staged gate + per-component freezing. `where`, not multiply:
-        # a gated-off NaN/inf grad must become exactly zero.
-        gate = state.step >= po.pose_opt_delay
-        rot_on = jnp.logical_and(gate, po.learn_rotation)
-        trans_on = jnp.logical_and(gate, po.learn_translation)
+        # `where`, not multiply: a gated-off NaN/inf grad must become
+        # exactly zero.
         pose_grads = {
             "rotation_deltas": jnp.where(
                 rot_on, pose_grads["rotation_deltas"], 0.0

@@ -170,6 +170,11 @@ def train_with_pose_optimization(
                         learning_rate=float(metrics["learning_rate"][j]),
                         time_per_iter=time_per_iter,
                         rays_per_sec=rays_per_sec,
+                        psnr_fine=float(metrics["psnr_fine"][j])
+                        if "psnr_fine" in metrics else None,
+                        rotation_reg=float(metrics["rotation_reg"][j]),
+                        translation_reg=float(metrics["translation_reg"][j]),
+                        pose_reg_loss=float(metrics["pose_reg_loss"][j]),
                     )
                 )
         i += n

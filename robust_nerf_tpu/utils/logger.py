@@ -36,6 +36,13 @@ class TrainingMetrics:
     learning_rate: float = 0.0
     time_per_iter: float = 0.0
     rays_per_sec: float = 0.0
+    # Pose-opt extras — the reference computes these into its step metrics
+    # dict (train_pose_opt.py:358-390); None (dropped from the CSV) on the
+    # standard path so its schema stays reference-identical.
+    psnr_fine: Optional[float] = None
+    rotation_reg: Optional[float] = None
+    translation_reg: Optional[float] = None
+    pose_reg_loss: Optional[float] = None
 
     def to_dict(self) -> Dict[str, Any]:
         return {k: v for k, v in asdict(self).items() if v is not None}
@@ -202,6 +209,8 @@ class ExperimentLogger:
             self.tb.log_scalar("train/psnr", m.psnr, m.iteration)
             self.tb.log_scalar("train/learning_rate", m.learning_rate, m.iteration)
             self.tb.log_scalar("train/rays_per_sec", m.rays_per_sec, m.iteration)
+            if m.pose_reg_loss is not None:
+                self.tb.log_scalar("train/pose_reg_loss", m.pose_reg_loss, m.iteration)
 
     def log_validation(self, m: ValidationMetrics):
         self.csv.log_val(m)

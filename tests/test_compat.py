@@ -70,6 +70,39 @@ def test_dataset_sampler_flow(tiny_scene):
                            np.asarray(batch2["rays_o"]))
 
 
+def test_ray_sampler_epoch_semantics(tiny_scene):
+    """`for batch in sampler` walks ONE shuffled epoch: ceil(N/B) batches,
+    partial last batch, every ray exactly once, then StopIteration
+    (reference: noisy_src/data.py:282-312)."""
+    from noisy_src import RayDataset, RaySampler
+
+    ds = RayDataset(tiny_scene)
+    n = len(ds)
+    bs = 1000                                  # 4608 rays -> 4 full + 608
+    sampler = RaySampler(ds, batch_size=bs, seed=3)
+    assert len(sampler) == (n + bs - 1) // bs
+
+    batches = list(sampler)
+    assert len(batches) == len(sampler)
+    sizes = [b["rays_o"].shape[0] for b in batches]
+    assert sizes[:-1] == [bs] * (len(batches) - 1)
+    assert sizes[-1] == n - bs * (len(batches) - 1)
+
+    # epoch covers every ray exactly once (match by ray origin+dir rows)
+    seen = np.concatenate(
+        [np.asarray(jnp.concatenate([b["rays_o"], b["rays_d"]], axis=-1))
+         for b in batches]
+    )
+    bank = ds.bank
+    full = np.asarray(jnp.concatenate([bank.rays_o, bank.rays_d], axis=-1))
+    order = np.lexsort(seen.T)
+    order_full = np.lexsort(full.T)
+    np.testing.assert_allclose(seen[order], full[order_full], rtol=0, atol=0)
+
+    # a second epoch reshuffles but has the same length
+    assert len(list(sampler)) == len(sampler)
+
+
 def test_pixel_dataset_flow(tiny_scene):
     from noisy_src.data_pose_opt import PixelDataset, PixelSampler
 

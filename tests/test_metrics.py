@@ -62,6 +62,50 @@ class TestSSIM:
         assert 0.3 < s < 1.0
 
 
+def _golden_images():
+    """Deterministic pseudo-images shared with the recorded reference run."""
+    H = W = 32
+    x = np.linspace(0, 1, H, dtype=np.float32)
+    gx, gy = np.meshgrid(x, x, indexing="xy")
+    img_a = np.stack(
+        [np.sin(7 * gx) * 0.5 + 0.5, gy, np.cos(5 * gx * gy) * 0.5 + 0.5],
+        axis=-1,
+    ).astype(np.float32)
+    rng = np.random.default_rng(42)
+    img_b = np.clip(
+        img_a + 0.05 * rng.standard_normal(img_a.shape).astype(np.float32), 0, 1
+    )
+    img_c = rng.random(img_a.shape, dtype=np.float32)
+    return img_a, img_b, img_c
+
+
+class TestSSIMGolden:
+    """Recorded outputs of the REFERENCE torch implementation
+    (noisy_src/metrics.py:48-116) on the deterministic images above,
+    captured by executing /root/reference on CPU. Any numeric drift in the
+    JAX SSIM/PSNR fails these."""
+
+    # reference compute_ssim / compute_psnr values (torch CPU, f32)
+    GOLDEN = {
+        "noisy": (0.8438640237, 26.57593727),
+        "random": (0.1261932999, 7.07521057),
+    }
+
+    def test_matches_reference_torch_values(self):
+        img_a, img_b, img_c = _golden_images()
+        for name, target in (("noisy", img_b), ("random", img_c)):
+            ssim_ref, psnr_ref = self.GOLDEN[name]
+            s = float(compute_ssim(jnp.asarray(img_a), jnp.asarray(target)))
+            p = float(compute_psnr(jnp.asarray(img_a), jnp.asarray(target)))
+            np.testing.assert_allclose(s, ssim_ref, atol=5e-6, err_msg=name)
+            np.testing.assert_allclose(p, psnr_ref, atol=5e-4, err_msg=name)
+
+    def test_identical_is_exactly_one(self):
+        img_a, _, _ = _golden_images()
+        s = float(compute_ssim(jnp.asarray(img_a), jnp.asarray(img_a)))
+        np.testing.assert_allclose(s, 1.0, atol=1e-6)
+
+
 class TestLPIPS:
     def test_unavailable_degrades_gracefully(self):
         """Reference availability-guard (metrics.py:131-141): without the

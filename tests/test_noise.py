@@ -110,6 +110,33 @@ class TestAddNoise:
         # std per-axis = 0.2; 3D norm mean = 0.2*sqrt(2)*gamma(2)/gamma(1.5) ~ 0.319
         assert 0.25 < np.mean(trans_norms) < 0.40
 
+    def test_recorded_noise_stats_golden(self):
+        """Frozen noise statistics for seed 42 (10 identity-rot poses at
+        distance 4, 5 deg + 5% noise). The seeded noise path must stay
+        bit-stable across refactors — any drift breaks run reproducibility
+        claims (reference contract: set_noise_seed, noisy_src/noise.py:65-68)."""
+        import jax.numpy as jnp
+
+        from robust_nerf_tpu.core.se3 import pose_errors
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (10, 1, 1))
+        poses[:, 2, 3] = 4.0
+        nc = NoiseConfig(rotation_noise_deg=5.0, translation_noise_pct=5.0,
+                         seed=42)
+        noisy, _ = add_noise_to_poses(poses, nc)
+        errs = pose_errors(jnp.asarray(noisy), jnp.asarray(poses))
+        golden = {
+            "mean_rotation_error_deg": 2.4527766704559326,
+            "max_rotation_error_deg": 5.644863605499268,
+            "std_rotation_error_deg": 1.3967602252960205,
+            "mean_translation_error": 0.2464648336172104,
+            "max_translation_error": 0.46983200311660767,
+            "std_translation_error": 0.09155124425888062,
+        }
+        for k, v in golden.items():
+            np.testing.assert_allclose(float(np.asarray(errs[k])), v,
+                                       rtol=1e-5, err_msg=k)
+
     def test_error_statistics_match_injected(self):
         poses = _ring_poses(200)
         nc = NoiseConfig(rotation_noise_deg=5.0, seed=9)

@@ -68,6 +68,80 @@ class TestGating:
         assert float(jnp.linalg.norm(state.pose_params["rotation_deltas"])) > 0
 
 
+class TestRegularizationParity:
+    def test_reg_is_mean_not_sum(self, tiny_scene, tiny_config):
+        """Reference uses torch.mean over the (N,3) deltas
+        (train_pose_opt.py:380-386); sum would be 3N x stronger."""
+        cfg = tiny_config
+        cfg.pose_opt = PoseOptConfig(pose_opt_delay=0)
+        bank = build_pixel_bank(tiny_scene)
+        state = create_pose_opt_state(
+            jax.random.PRNGKey(0), cfg, jnp.asarray(tiny_scene.poses)
+        )
+        n = state.pose_params["rotation_deltas"].shape[0]
+        state = state._replace(pose_params={
+            "rotation_deltas": jnp.full((n, 3), 0.01, jnp.float32),
+            "translation_deltas": jnp.full((n, 3), 0.02, jnp.float32),
+        })
+        chunk = make_pose_opt_chunk(cfg, steps=1)
+        _, m = chunk(state, bank, jax.random.PRNGKey(1))
+        po = cfg.pose_opt
+        # mean of squares — value independent of N (a sum would be 3N x)
+        assert float(m["rotation_reg"][0]) == pytest.approx(1e-4, rel=1e-5)
+        assert float(m["translation_reg"][0]) == pytest.approx(4e-4, rel=1e-5)
+        expected = po.rotation_reg_weight * 1e-4 + po.translation_reg_weight * 4e-4
+        assert float(m["pose_reg_loss"][0]) == pytest.approx(expected, rel=1e-5)
+        # reference metric keys present alongside photometric ones
+        assert "psnr_fine" in m or "fine" not in state.models
+
+    def test_reg_gated_before_delay(self, tiny_scene, tiny_config):
+        """Pre-delay the reference never adds the reg term to the loss
+        (optimize_poses gate, train_pose_opt.py:378)."""
+        cfg = tiny_config
+        cfg.pose_opt = PoseOptConfig(pose_opt_delay=1000)
+        bank = build_pixel_bank(tiny_scene)
+        state = create_pose_opt_state(
+            jax.random.PRNGKey(0), cfg, jnp.asarray(tiny_scene.poses)
+        )
+        n = state.pose_params["rotation_deltas"].shape[0]
+        state = state._replace(pose_params={
+            "rotation_deltas": jnp.full((n, 3), 0.1, jnp.float32),
+            "translation_deltas": jnp.full((n, 3), 0.1, jnp.float32),
+        })
+        chunk = make_pose_opt_chunk(cfg, steps=2)
+        _, m = chunk(state, bank, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(m["pose_reg_loss"]), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(m["loss"]),
+            np.asarray(m["loss_coarse"]) + np.asarray(m["loss_fine"]),
+            rtol=1e-6,
+        )
+
+
+class TestPerModelClip:
+    def test_clip_each_subtree_independently(self):
+        """Pose-opt clips coarse and fine separately at max_norm each
+        (reference train_pose_opt.py:398-401), unlike one combined norm."""
+        from robust_nerf_tpu.training.steps import clip_by_norm_per_subtree
+
+        tx = clip_by_norm_per_subtree(1.0)
+        updates = {
+            "coarse": {"w": jnp.full((10,), 10.0)},   # norm ~31.6 -> clipped
+            "fine": {"w": jnp.full((10,), 0.01)},     # norm ~0.03 -> kept
+        }
+        out, _ = tx.update(updates, tx.init(updates))
+        import optax
+
+        assert float(optax.global_norm(out["coarse"])) == pytest.approx(
+            1.0, rel=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["fine"]["w"]), 0.01, rtol=1e-6
+        )
+        # a single global clip at 1.0 would have scaled fine's grads down
+        # by ~31.6x; per-subtree clipping must leave them untouched.
+
+
 class TestJointRecovery:
     @pytest.mark.slow
     def test_pose_error_decreases(self, tiny_scene, tiny_config):

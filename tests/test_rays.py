@@ -181,6 +181,26 @@ class TestSamplePDF:
         s = np.asarray(sample_pdf(key, bins, weights, 64, det=False))
         assert s.min() >= 2.0 - 1e-4 and s.max() <= 6.0 + 1e-4
 
+    def test_golden_vs_reference_torch(self):
+        """Recorded outputs of the REFERENCE torch sample_pdf
+        (noisy_src/rays.py:213-279) in deterministic mode, captured by
+        executing /root/reference on CPU: 9 linspace(2,6) bin edges, three
+        weight rows (peaked / bimodal-edges / uniform), 6 det samples.
+        Any drift in the masked-reduction CDF inversion fails this."""
+        bins = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 9), (3, 9))
+        weights = jnp.array([
+            [0.0, 0.1, 0.5, 1.0, 0.5, 0.1, 0.0, 0.0],
+            [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+            [0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125],
+        ], dtype=jnp.float32)
+        golden = np.array([
+            [2.0, 3.3399892, 3.6399996, 3.8600054, 4.160021, 6.0],
+            [2.0, 2.200006, 2.400012, 5.599988, 5.799994, 6.0],
+            [2.0, 2.8, 3.6, 4.4, 5.2, 6.0],
+        ], dtype=np.float32)
+        s = np.asarray(sample_pdf(None, bins, weights, 6, det=True))
+        np.testing.assert_allclose(s, golden, atol=2e-5)
+
     def test_matches_reference_shapes(self):
         """Reference smoke: 64 coarse + 128 fine = 192 total
         (noisy_src/test_baseline.py:88-95)."""
