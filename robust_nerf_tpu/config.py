@@ -80,6 +80,11 @@ class TrainConfig:
     seed: int = 42
     grad_clip: float = 1.0
     resume: Optional[Path] = None  # wired, unlike the reference (train.py:289-304)
+    # Wedge watchdog: if a device dispatch/fetch makes no progress for this
+    # many seconds, exit EX_TEMPFAIL (75) so a supervisor can relaunch with
+    # --resume (round-1 tunnel-wedge incident; see training/watchdog.py).
+    # 0 disables.
+    wedge_timeout_s: float = 0.0
 
 
 @dataclass
@@ -121,6 +126,13 @@ class TPUConfig:
     num_devices: int = 0
     # Use the fused Pallas posenc+MLP kernel where available.
     use_pallas: bool = False
+    # Pallas inverse-CDF resample kernel for hierarchical sampling
+    # (ops/pallas/resample.py; exact-parity math). MEASURED A WASH inside
+    # the training step on v5e (65.0k vs 65.2k rays/s): XLA already fuses
+    # the compare mask into the reductions, so the round-1 "~15 ms
+    # resample" profile was misattributed. Kept as an option ("on"/"off";
+    # "auto" = off) — revisit if batch sizes grow past VPU-bound regimes.
+    fused_resample: str = "auto"
     # Rematerialize MLP activations in the backward pass. With bf16
     # activations the full-pipeline step fits HBM comfortably at default
     # batch sizes and skipping the recompute is ~20% faster; enable for

@@ -183,15 +183,28 @@ def sample_hierarchical(
     weights: jnp.ndarray,     # (..., N_coarse)
     num_samples_fine: int,
     det: bool = False,
+    use_fused: bool = False,
 ):
     """Hierarchical resampling (reference: noisy_src/rays.py:282-333).
 
     PDF over coarse-bin midpoints with interior weights, fine z's detached
     (stop_gradient mirrors the reference's .detach(), rays.py:325), then
-    merged + sorted with the coarse z's.
+    merged + sorted with the coarse z's. `use_fused` routes the inversion
+    through the Pallas kernel (ops/pallas/resample.py) — same math, no
+    (B, S, N) intermediates.
     """
     z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(key, z_vals_mid, weights[..., 1:-1], num_samples_fine, det=det)
+    if use_fused:
+        # lazy import: core must stay importable without the ops layer
+        from ..ops.pallas.resample import sample_pdf_fused
+
+        z_samples = sample_pdf_fused(
+            key, z_vals_mid, weights[..., 1:-1], num_samples_fine, det=det
+        )
+    else:
+        z_samples = sample_pdf(
+            key, z_vals_mid, weights[..., 1:-1], num_samples_fine, det=det
+        )
     z_samples = jax.lax.stop_gradient(z_samples)
 
     z_vals_fine = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)

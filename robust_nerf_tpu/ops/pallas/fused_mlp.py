@@ -17,8 +17,14 @@ math of models.nerf.nerf_apply (slot order matches positional_encoding's
 [x, per-freq sin(3) cos(3)] layout exactly; padded slots multiply zero
 weight rows).
 
-Grad support: custom VJP whose backward recomputes through the XLA
-reference implementation — exact gradients of the same math.
+Grad support: custom VJP with a FUSED PALLAS BACKWARD — each tile
+recomputes its forward activations in VMEM (nothing spills to HBM),
+backprops through the nine matmuls on the MXU, accumulates dW/db into
+constant-index output blocks across grid steps, and streams d_pts/d_dirs
+tiles out. HBM traffic for the whole fwd+bwd is inputs + cotangents +
+parameter-sized gradients — the XLA path materializes every (N, 256)
+activation twice. Set ROBUST_NERF_PALLAS_BWD=0 to fall back to an XLA
+recompute backward (exact gradients of the same math, useful for A/B).
 
 Falls back to `nerf_apply` for configs without view directions.
 """
@@ -37,7 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import ModelConfig
 from ...models.nerf import nerf_apply
 
-TILE = 1024            # points per grid step
+import os
+
+TILE = 1024            # points per grid step (forward)
+TILE_BWD = 512         # points per grid step (backward: activations + dW
+                       # accumulators must fit VMEM alongside the weights)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -211,9 +221,17 @@ def _const_spec(shape):
     )
 
 
+def _interpret_default() -> bool:
+    """Mosaic only targets TPU; on CPU (tests, dryrun meshes) run the same
+    kernels through the Pallas interpreter."""
+    return jax.default_backend() != "tpu"
+
+
 def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
-                   interpret: bool = False):
+                   interpret: Optional[bool] = None):
     """(N, 3) points/dirs -> (rgb (N, 3), sigma (N, 1)); N % TILE == 0."""
+    if interpret is None:
+        interpret = _interpret_default()
     n = pts2d.shape[0]
     compute_dtype = jnp.dtype(dtype_str)
     weights, S_pos, S_dir = _prepare_weights(params, cfg)
@@ -248,6 +266,221 @@ def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
     return rgb, sigma
 
 
+def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
+    """Fused backward: recompute activations per tile in VMEM, backprop
+    through all matmuls on the MXU, accumulate dW/db across grid steps."""
+    n_layers = cfg.num_hidden_layers
+    skips = set(cfg.skips)
+    H = cfg.hidden_dim
+    cdt = compute_dtype
+
+    def kernel(pts_ref, dirs_ref, grgb_ref, gsigma_ref,
+               pos_P, pos_id, pos_sin, pos_cos,
+               dir_P, dir_id, dir_sin, dir_cos, *refs):
+        weight_refs = refs[:n_weights]
+        dpts_ref, ddirs_ref = refs[n_weights], refs[n_weights + 1]
+        acc_refs = refs[n_weights + 2:]
+
+        # dW/db accumulators: constant-index output blocks stay resident in
+        # VMEM across sequential grid steps — zero once, += every tile.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in acc_refs:
+                r[...] = jnp.zeros_like(r)
+
+        def w(i):
+            return weight_refs[i][...]
+
+        def mm(a, b):                      # a @ b, f32 accum
+            return jnp.dot(a.astype(cdt), b.astype(cdt),
+                           preferred_element_type=jnp.float32)
+
+        def mm_at_b(a, b):                 # a^T @ b (contract batch rows)
+            return jax.lax.dot_general(
+                a.astype(cdt), b.astype(cdt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def mm_a_bt(a, b):                 # a @ b^T (contract features)
+            return jax.lax.dot_general(
+                a.astype(cdt), b.astype(cdt),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        # ---- forward recompute (everything stays in VMEM) ---------------
+        def encode_t(x, P_ref):
+            # HIGHEST: see the forward kernel — sin/cos args reach ~2^L|x|.
+            return jnp.dot(x, P_ref[...], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        t_pos = encode_t(pts_ref[...], pos_P)
+        x_enc = (pos_id[...] * t_pos + pos_sin[...] * jnp.sin(t_pos)
+                 + pos_cos[...] * jnp.cos(t_pos))
+        t_dir = encode_t(dirs_ref[...], dir_P)
+        d_enc = (dir_id[...] * t_dir + dir_sin[...] * jnp.sin(t_dir)
+                 + dir_cos[...] * jnp.cos(t_dir))
+        x_enc_c = x_enc.astype(cdt)
+
+        h_ins = []     # input of each trunk layer (compute dtype)
+        masks = []     # ReLU masks, taken on the f32 pre-activations
+                       # (Mosaic rejects cmpf on packed-bf16 vectors)
+        h = x_enc_c
+        for i in range(n_layers):
+            h_ins.append(h)
+            a = mm(h, w(2 * i)) + w(2 * i + 1)
+            masks.append(a > 0.0)
+            hr = jnp.maximum(a, 0.0).astype(cdt)
+            h = jnp.concatenate([x_enc_c, hr], axis=-1) if i in skips else hr
+
+        idx = 2 * n_layers
+        raw_sigma = mm(h, w(idx)) + w(idx + 1)                 # (T, 1)
+        feats = (mm(h, w(idx + 2)) + w(idx + 3)).astype(cdt)   # (T, H)
+        hc_in = jnp.concatenate([feats, d_enc.astype(cdt)], axis=-1)
+        a_c = mm(hc_in, w(idx + 4)) + w(idx + 5)
+        h_c = jnp.maximum(a_c, 0.0).astype(cdt)
+        rgb_raw = mm(h_c, w(idx + 6)) + w(idx + 7)
+        rgb = jax.nn.sigmoid(rgb_raw)
+
+        # ---- backward ----------------------------------------------------
+        g_rgb = grgb_ref[...]
+        g_sigma = gsigma_ref[...]
+
+        d_rgb_raw = g_rgb * rgb * (1.0 - rgb)
+        dWr = mm_at_b(h_c, d_rgb_raw)
+        dbr = jnp.sum(d_rgb_raw, axis=0, keepdims=True)
+        d_hc = mm_a_bt(d_rgb_raw, w(idx + 6))
+        d_ac = jnp.where(a_c > 0.0, d_hc, 0.0)
+        dWd = mm_at_b(hc_in, d_ac)
+        dbd = jnp.sum(d_ac, axis=0, keepdims=True)
+        d_hcin = mm_a_bt(d_ac, w(idx + 4))
+        d_feats = d_hcin[:, :H]
+        d_denc = d_hcin[:, H:]
+
+        if cfg.sigma_activation == "softplus":
+            d_raw_sigma = g_sigma * jax.nn.sigmoid(raw_sigma)
+        else:
+            d_raw_sigma = jnp.where(raw_sigma > 0.0, g_sigma, 0.0)
+        dWs = mm_at_b(h, d_raw_sigma)
+        dbs = jnp.sum(d_raw_sigma, axis=0, keepdims=True)
+        dWf = mm_at_b(h, d_feats)
+        dbf = jnp.sum(d_feats, axis=0, keepdims=True)
+        d_h = mm_a_bt(d_raw_sigma, w(idx)) + mm_a_bt(d_feats, w(idx + 2))
+
+        S_pos = x_enc.shape[-1]
+        d_xenc = jnp.zeros_like(x_enc)
+        g = d_h
+        if (n_layers - 1) in skips:
+            d_xenc = d_xenc + g[:, :S_pos]
+            g = g[:, S_pos:]
+
+        trunk_w_grads = [None] * n_layers
+        trunk_b_grads = [None] * n_layers
+        for i in range(n_layers - 1, -1, -1):
+            d_a = jnp.where(masks[i], g, 0.0)
+            trunk_w_grads[i] = mm_at_b(h_ins[i], d_a)
+            trunk_b_grads[i] = jnp.sum(d_a, axis=0, keepdims=True)
+            g_full = mm_a_bt(d_a, w(2 * i))
+            if i == 0:
+                d_xenc = d_xenc + g_full
+            elif (i - 1) in skips:
+                d_xenc = d_xenc + g_full[:, :S_pos]
+                g = g_full[:, S_pos:]
+            else:
+                g = g_full
+
+        # encoding backward: enc = m_id*t + m_sin*sin t + m_cos*cos t
+        d_tpos = d_xenc * (pos_id[...] + pos_sin[...] * jnp.cos(t_pos)
+                           - pos_cos[...] * jnp.sin(t_pos))
+        dpts_ref[...] = jax.lax.dot_general(
+            d_tpos, pos_P[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d_tdir = d_denc.astype(jnp.float32) * (
+            dir_id[...] + dir_sin[...] * jnp.cos(t_dir)
+            - dir_cos[...] * jnp.sin(t_dir))
+        ddirs_ref[...] = jax.lax.dot_general(
+            d_tdir, dir_P[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        contribs = []
+        for i in range(n_layers):
+            contribs += [trunk_w_grads[i], trunk_b_grads[i]]
+        contribs += [dWs, dbs, dWf, dbf, dWd, dbd, dWr, dbr]
+        for r, c in zip(acc_refs, contribs):
+            r[...] += c
+
+    return kernel
+
+
+def _fused_backward(params, pts2d, dirs2d, grgb2d, gsig2d,
+                    cfg: ModelConfig, dtype_str: str,
+                    interpret: Optional[bool] = None):
+    """(N,3)/(N,3)/(N,3)/(N,1) padded inputs -> (packed dW list, d_pts, d_dirs);
+    N % TILE_BWD == 0."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = pts2d.shape[0]
+    compute_dtype = jnp.dtype(dtype_str)
+    weights, S_pos, S_dir = _prepare_weights(params, cfg)
+    pos_tabs = _encoding_tables(cfg.pos_freqs, S_pos)
+    dir_tabs = _encoding_tables(cfg.dir_freqs, S_dir)
+    tabs = [jnp.asarray(t) for t in (*pos_tabs, *dir_tabs)]
+    n_tiles = n // TILE_BWD
+
+    tile_spec = lambda width: pl.BlockSpec(
+        (TILE_BWD, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[tile_spec(3), tile_spec(3), tile_spec(3), tile_spec(1)]
+        + [_const_spec(t.shape) for t in tabs]
+        + [_const_spec(wt.shape) for wt in weights],
+        out_specs=[tile_spec(3), tile_spec(3)]
+        + [_const_spec(wt.shape) for wt in weights],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n, 3), jnp.float32),
+    ] + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in weights]
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(cfg, compute_dtype, len(weights)),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(pts2d, dirs2d, grgb2d, gsig2d, *tabs, *weights)
+    return outs[2:], outs[0], outs[1]
+
+
+def _unpack_weight_grads(dws, cfg: ModelConfig, S_pos: int, S_dir: int):
+    """Inverse of _prepare_weights: strip padded encoding rows and restore
+    the params-pytree layout (padding rows carry exactly-zero grads since
+    the padded encoding slots are exactly zero)."""
+    pos_dim = 3 * (1 + 2 * cfg.pos_freqs)
+    dir_dim = 3 * (1 + 2 * cfg.dir_freqs)
+    H = cfg.hidden_dim
+    g = {}
+    for i in range(cfg.num_hidden_layers):
+        dw, db = dws[2 * i], dws[2 * i + 1]
+        if i == 0:
+            dw = dw[:pos_dim]
+        elif (i - 1) in cfg.skips:
+            dw = jnp.concatenate([dw[:pos_dim], dw[S_pos:]], axis=0)
+        g[f"trunk_{i}_w"] = dw
+        g[f"trunk_{i}_b"] = db.reshape(-1)
+    idx = 2 * cfg.num_hidden_layers
+    g["sigma_w"] = dws[idx]
+    g["sigma_b"] = dws[idx + 1].reshape(-1)
+    g["feat_w"] = dws[idx + 2]
+    g["feat_b"] = dws[idx + 3].reshape(-1)
+    dw_dir = dws[idx + 4]
+    g["dir_w"] = jnp.concatenate([dw_dir[:H], dw_dir[H:H + dir_dim]], axis=0)
+    g["dir_b"] = dws[idx + 5].reshape(-1)
+    g["rgb_w"] = dws[idx + 6]
+    g["rgb_b"] = dws[idx + 7].reshape(-1)
+    return g
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_with_grad(params, pts, viewdirs, cfg, dtype_str):
     batch_shape = pts.shape[:-1]
@@ -269,13 +502,37 @@ def _fused_fwd(params, pts, viewdirs, cfg, dtype_str):
 
 def _fused_bwd(cfg, dtype_str, residuals, cotangents):
     params, pts, viewdirs = residuals
-    # Backward recomputes through the XLA reference implementation — exact
-    # gradients of the same math, with XLA free to fuse the recompute.
-    _, vjp_fn = jax.vjp(
-        lambda p, x, d: nerf_apply(p, x, d, cfg, jnp.dtype(dtype_str)),
-        params, pts, viewdirs,
+    if os.environ.get("ROBUST_NERF_PALLAS_BWD", "1") != "1":
+        # XLA-recompute fallback (exact gradients of the same math) — kept
+        # for A/B measurement and as an escape hatch.
+        _, vjp_fn = jax.vjp(
+            lambda p, x, d: nerf_apply(p, x, d, cfg, jnp.dtype(dtype_str)),
+            params, pts, viewdirs,
+        )
+        return vjp_fn(cotangents)
+
+    g_rgb, g_sigma = cotangents
+    batch_shape = pts.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    pad = (-n) % TILE_BWD
+    pts2d = jnp.pad(pts.reshape(-1, 3), ((0, pad), (0, 0)))
+    dirs2d = jnp.pad(viewdirs.reshape(-1, 3), ((0, pad), (0, 0)))
+    # zero-padded cotangents contribute exactly zero to every dW/db
+    grgb2d = jnp.pad(g_rgb.reshape(-1, 3).astype(jnp.float32),
+                     ((0, pad), (0, 0)))
+    gsig2d = jnp.pad(g_sigma.reshape(-1, 1).astype(jnp.float32),
+                     ((0, pad), (0, 0)))
+    dws, d_pts, d_dirs = _fused_backward(
+        params, pts2d, dirs2d, grgb2d, gsig2d, cfg, dtype_str
     )
-    return vjp_fn(cotangents)
+    S_pos = _round_up(3 * (1 + 2 * cfg.pos_freqs), 64)
+    S_dir = _round_up(3 * (1 + 2 * cfg.dir_freqs), 32)
+    d_params = _unpack_weight_grads(dws, cfg, S_pos, S_dir)
+    return (
+        d_params,
+        d_pts[:n].reshape(batch_shape + (3,)),
+        d_dirs[:n].reshape(batch_shape + (3,)),
+    )
 
 
 _fused_with_grad.defvjp(_fused_fwd, _fused_bwd)

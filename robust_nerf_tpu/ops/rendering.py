@@ -20,6 +20,11 @@ from ..core.rays import sample_along_rays, sample_hierarchical
 from ..models.nerf import nerf_apply
 
 
+def resolve_fused_resample(setting: str) -> Optional[bool]:
+    """TPUConfig.fused_resample "on"/"off"/"auto" -> True/False/None."""
+    return {"on": True, "off": False}.get(setting, None)
+
+
 def raw2outputs(
     rgb: jnp.ndarray,        # (..., S, 3) raw colors
     sigma: jnp.ndarray,      # (..., S) or (..., S, 1) densities
@@ -81,16 +86,23 @@ def render_rays(
     compute_dtype=jnp.float32,
     apply_fn=nerf_apply,
     anneal_alpha=None,
+    fused_resample: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full coarse->fine render of one ray batch as a single traced program.
 
     Reference semantics: noisy_src/rendering.py:119-240 — train mode enables
     stratified jitter + density noise; eval uses deterministic hierarchical
     sampling (det = not is_train). `apply_fn` lets the Pallas fused-MLP path
-    drop in without touching the pipeline.
+    drop in without touching the pipeline. `fused_resample` routes the PDF
+    inversion through the Pallas resample kernel (None = default off — see
+    TPUConfig.fused_resample for the measurement).
     """
     perturb = render_cfg.perturb and is_train
     raw_noise_std = render_cfg.raw_noise_std if is_train else 0.0
+    if fused_resample is None:
+        # default off: measured a wash vs XLA's fused reductions inside the
+        # training step on v5e (see TPUConfig.fused_resample)
+        fused_resample = False
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -122,6 +134,7 @@ def render_rays(
         pts_f, z_vals_f = sample_hierarchical(
             k_pdf, rays_o, rays_d, z_vals_c, out_c["weights"],
             num_samples_fine=render_cfg.num_samples_fine, det=not is_train,
+            use_fused=fused_resample,
         )
         vdirs_f = jnp.broadcast_to(viewdirs[:, None, :], pts_f.shape)
         rgb_f, sigma_f = apply_fn(
@@ -150,6 +163,7 @@ def render_rays_chunked(
     compute_dtype=jnp.float32,
     tile: int = 4096,
     apply_fn=nerf_apply,
+    fused_resample: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render arbitrarily many rays via lax.map over fixed-size tiles.
 
@@ -174,6 +188,7 @@ def render_rays_chunked(
         return render_rays(
             models, ro_t, rd_t, k_t, render_cfg, model_cfg,
             is_train=is_train, compute_dtype=compute_dtype, apply_fn=apply_fn,
+            fused_resample=fused_resample,
         )
 
     out = jax.lax.map(render_tile, (ro, rd, keys))
@@ -198,6 +213,7 @@ def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg)
         is_train=False,
         compute_dtype=jnp.dtype(tpu_cfg.compute_dtype),
         tile=tpu_cfg.eval_tile,
+        fused_resample=resolve_fused_resample(tpu_cfg.fused_resample),
     )
     which = "fine" if "rgb_fine" in out else "coarse"
     return {

@@ -28,7 +28,7 @@ from ..core.se3 import apply_pose_deltas
 from ..data.banks import PixelBank, RayBank, sample_pixel_batch, sample_ray_batch
 from ..evalx.metrics import psnr_from_mse
 from ..models.nerf import create_nerf, nerf_apply
-from ..ops.rendering import render_rays
+from ..ops.rendering import render_rays, resolve_fused_resample
 from ..parallel.mesh import constrain_batch
 
 
@@ -127,12 +127,17 @@ def create_pose_opt_state(
 
 
 def _apply_fn_for(cfg: NeRFConfig):
-    """Select the MLP apply fn (XLA or fused Pallas) + optional remat."""
-    fn = nerf_apply
+    """Select the MLP apply fn (XLA or fused Pallas) + optional remat.
+
+    The fused kernel's custom VJP stores only (params, pts, viewdirs) as
+    residuals and recomputes activations per tile in VMEM, so wrapping it
+    in jax.checkpoint would only add a redundant forward pass — remat
+    applies to the XLA path alone."""
     if cfg.tpu.use_pallas:
         from ..ops.pallas.fused_mlp import nerf_apply_fused
 
-        fn = nerf_apply_fused
+        return nerf_apply_fused
+    fn = nerf_apply
     if cfg.tpu.remat:
         fn = jax.checkpoint(fn, static_argnums=(3, 4))
     return fn
@@ -153,6 +158,7 @@ def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn,
         compute_dtype=jnp.dtype(cfg.tpu.compute_dtype),
         apply_fn=apply_fn,
         anneal_alpha=anneal_alpha,
+        fused_resample=resolve_fused_resample(cfg.tpu.fused_resample),
     )
     target = batch["target_rgb"]
     mse_c = jnp.mean((out["rgb_coarse"] - target) ** 2)
