@@ -96,30 +96,45 @@ def compute_ssim(
 
 class LPIPSMetric:
     """Optional LPIPS, reference availability-guard pattern
-    (noisy_src/metrics.py:119-168). Requires the `lpips` package and its
-    pretrained VGG weights; when absent, `available` is False and __call__
-    returns None so pipelines skip the metric rather than fail."""
+    (noisy_src/metrics.py:119-168), with two backends:
+
+    1. the torch `lpips` package if importable (reference behavior), else
+    2. the pure-JAX VGG forward (evalx/lpips_jax.py) if a weights archive
+       exists on disk ($LPIPS_WEIGHTS or weights/lpips_vgg.npz — export
+       one with scripts/export_lpips_weights.py).
+
+    When neither is available, `available` is False and __call__ returns
+    None so pipelines skip the metric rather than fail."""
 
     def __init__(self, net: str = "vgg"):
         self._model = None
-        self._available = False
+        self._jax_model = None
         try:
             import lpips  # noqa: F401 — optional dependency
             import torch  # noqa: F401
 
             self._model = lpips.LPIPS(net=net)
             self._model.eval()
-            self._available = True
         except Exception:
             self._model = None
-            self._available = False
+        if self._model is None:
+            try:
+                from .lpips_jax import LPIPSJax, find_weights
+
+                path = find_weights()
+                if path is not None:
+                    self._jax_model = LPIPSJax(path)
+            except Exception:
+                self._jax_model = None
 
     @property
     def available(self) -> bool:
-        return self._available
+        return self._model is not None or self._jax_model is not None
 
     def __call__(self, pred, target) -> Optional[float]:
-        if not self._available:
+        if self._jax_model is not None:
+            return self._jax_model(pred, target)
+        if self._model is None:
             return None
         import torch
 
