@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from datetime import datetime
 from pathlib import Path
@@ -38,6 +39,7 @@ from ..utils.logger import ExperimentLogger, TrainingMetrics
 from .checkpoints import find_checkpoint, load_checkpoint_raw, restore_into, save_checkpoint
 from .evaluation import evaluate
 from .steps import create_train_state, make_train_chunk
+from .watchdog import EX_TEMPFAIL, WedgeTimeout, run_with_watchdog
 
 
 def generate_experiment_name(
@@ -154,7 +156,17 @@ def train(
             chunk_fns[n] = make_train_chunk(cfg, mesh, steps=n)
         t0 = time.time()
         state, metrics = chunk_fns[n](state, bank, base_key)
-        metrics = jax.device_get(metrics)
+        try:
+            metrics = run_with_watchdog(
+                lambda: jax.device_get(metrics),
+                cfg.train.wedge_timeout_s,
+                what=f"train chunk @ iter {i}",
+            )
+        except WedgeTimeout as e:
+            print(f"WATCHDOG: {e}", flush=True)
+            if logger is not None:
+                logger.close()
+            sys.exit(EX_TEMPFAIL)
         dt = time.time() - t0
         time_per_iter = dt / n
         rays_per_sec = cfg.data.batch_size / time_per_iter
@@ -257,6 +269,7 @@ def build_config_from_args(args) -> NeRFConfig:
             device=args.device,
             seed=args.seed,
             resume=args.resume,
+            wedge_timeout_s=args.wedge_timeout,
         ),
         tpu=TPUConfig(
             compute_dtype=args.compute_dtype,
@@ -306,6 +319,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="call jax.distributed.initialize() for pod/"
                              "multi-process runs (coordinator from env)")
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--wedge_timeout", type=float, default=0.0,
+                        help="seconds without dispatch progress before the "
+                             "watchdog exits EX_TEMPFAIL(75) for a "
+                             "supervised --resume relaunch (0 = off)")
 
 
 def maybe_init_multihost(args):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from datetime import datetime
 from pathlib import Path
@@ -43,6 +44,7 @@ from .checkpoints import find_checkpoint, load_checkpoint_raw, restore_into, sav
 from .evaluation import evaluate
 from .steps import create_pose_opt_state, current_poses, make_pose_opt_chunk
 from .train import _chunk_schedule
+from .watchdog import EX_TEMPFAIL, WedgeTimeout, run_with_watchdog
 
 
 def generate_experiment_name(
@@ -153,7 +155,17 @@ def train_with_pose_optimization(
             chunk_fns[n] = make_pose_opt_chunk(cfg, mesh, steps=n)
         t0 = time.time()
         state, metrics = chunk_fns[n](state, bank, base_key)
-        metrics = jax.device_get(metrics)
+        try:
+            metrics = run_with_watchdog(
+                lambda: jax.device_get(metrics),
+                cfg.train.wedge_timeout_s,
+                what=f"pose-opt chunk @ iter {i}",
+            )
+        except WedgeTimeout as e:
+            print(f"WATCHDOG: {e}", flush=True)
+            if logger is not None:
+                logger.close()
+            sys.exit(EX_TEMPFAIL)
         dt = time.time() - t0
         time_per_iter = dt / n
         rays_per_sec = cfg.data.batch_size / time_per_iter
