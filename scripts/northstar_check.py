@@ -52,6 +52,10 @@ def main(argv=None):
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--num_samples_fine", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    # reference-default regularization (train_pose_opt.py:621); the reg is
+    # a MEAN over deltas gated on the delay, so the defaults are mild
+    p.add_argument("--rotation_reg_weight", type=float, default=0.01)
+    p.add_argument("--translation_reg_weight", type=float, default=0.001)
     args = p.parse_args(argv)
 
     cfg = rn.NeRFConfig()
@@ -63,8 +67,8 @@ def main(argv=None):
     cfg.pose_opt = rn.PoseOptConfig(
         pose_opt_delay=args.pose_opt_delay,
         pose_lr=args.pose_lr,
-        rotation_reg_weight=0.0,       # pure photometric recovery
-        translation_reg_weight=0.0,
+        rotation_reg_weight=args.rotation_reg_weight,
+        translation_reg_weight=args.translation_reg_weight,
         freq_anneal_iters=args.freq_anneal_iters,
     )
 

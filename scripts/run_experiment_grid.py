@@ -1,0 +1,220 @@
+"""Reproduce the reference's measured experiment grid on the textured
+analytic scene (the Blender set is not on disk — zero egress).
+
+Reference grid (SURVEY.md §6, /root/reference/outputs/): clean baseline,
+fixed-noisy rot 1/3/5 deg, trans 1/3/5 %, joint rot5+trans5, and four
+pose-opt runs (clean init, rot5 init, trans5 init, joint init), all at
+10k iterations / batch 1024 / 64+128 hierarchical samples / half-res
+(400x400) frames. This script runs the same 12-experiment grid with the
+same knobs and writes results/grid/GRID.{md,json} mirroring BASELINE.md's
+table — the deliverable is the reference's qualitative contract: PSNR
+degrades monotonically with noise, pose-opt recovers dB over fixed-noisy,
+and clean-init pose-opt does not degrade.
+
+Usage: python scripts/run_experiment_grid.py [--iters 10000] [--res 400]
+       [--only clean rot1 ...] [--quick]  (quick = tiny smoke config)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from robust_nerf_tpu.config import (  # noqa: E402
+    DataConfig,
+    ModelConfig,
+    NeRFConfig,
+    PoseOptConfig,
+    RenderConfig,
+    TPUConfig,
+    TrainConfig,
+)
+from robust_nerf_tpu.core.noise import NoiseConfig  # noqa: E402
+
+# (name, kind, rot_deg, trans_pct) — kind: "train" fixed-pose / "poseopt"
+GRID = [
+    ("clean",               "train",   0.0, 0.0),
+    ("rot1",                "train",   1.0, 0.0),
+    ("rot3",                "train",   3.0, 0.0),
+    ("rot5",                "train",   5.0, 0.0),
+    ("trans1",              "train",   0.0, 1.0),
+    ("trans3",              "train",   0.0, 3.0),
+    ("trans5",              "train",   0.0, 5.0),
+    ("rot5_trans5",         "train",   5.0, 5.0),
+    ("poseopt_cleaninit",   "poseopt", 0.0, 0.0),
+    ("poseopt_rot5",        "poseopt", 5.0, 0.0),
+    ("poseopt_trans5",      "poseopt", 0.0, 5.0),
+    ("poseopt_rot5_trans5", "poseopt", 5.0, 5.0),
+]
+
+# Reference measured final PSNRs for side-by-side context (SURVEY.md §6;
+# lego, not directly comparable in absolute value — pattern comparison only)
+REFERENCE_PSNR = {
+    "clean": 25.53, "rot1": 20.50, "rot3": 16.57, "rot5": 14.25,
+    "trans1": 19.59, "trans3": 15.57, "trans5": 13.18,
+    "rot5_trans5": 11.30, "poseopt_cleaninit": 25.27, "poseopt_rot5": 16.82,
+    "poseopt_trans5": 16.58, "poseopt_rot5_trans5": 11.22,
+}
+
+
+def build_config(args, name: str, kind: str, out_root: Path) -> NeRFConfig:
+    cfg = NeRFConfig(
+        model=ModelConfig(),
+        render=RenderConfig(num_samples=args.num_samples,
+                            num_samples_fine=args.num_samples_fine),
+        data=DataConfig(
+            batch_size=args.batch_size,
+            source="synthetic",
+            synthetic_resolution=args.res,
+            synthetic_num_train=args.num_train,
+            synthetic_num_val=args.num_val,
+            synthetic_textured=True,
+            scene_name="synthetic",
+        ),
+        train=TrainConfig(
+            num_iterations=args.iters,
+            val_every=args.val_every,
+            save_every=args.iters,       # final checkpoint only
+            log_every=max(args.iters // 10, 1),
+            output_dir=out_root,
+            experiment_name=name,
+            seed=0,
+        ),
+        tpu=TPUConfig(
+            steps_per_scan=args.steps_per_scan,
+            compute_dtype="bfloat16",
+            use_pallas=args.use_pallas,
+        ),
+    )
+    if kind == "poseopt":
+        cfg.pose_opt = PoseOptConfig(
+            init_mode="noisy",
+            pose_opt_delay=1000,
+            pose_lr=1e-4,
+            # reference defaults (train_pose_opt.py:621)
+            rotation_reg_weight=0.01,
+            translation_reg_weight=0.001,
+        )
+    return cfg
+
+
+def run_one(args, name, kind, rot, trans, out_root: Path) -> dict:
+    from robust_nerf_tpu.training.train import train
+    from robust_nerf_tpu.training.train_pose_opt import train_with_pose_optimization
+
+    cfg = build_config(args, name, kind, out_root)
+    noise = NoiseConfig(rotation_noise_deg=rot, translation_noise_pct=trans,
+                        seed=42)
+    if not noise.has_noise:
+        noise = None
+    if kind == "poseopt" and noise is None:
+        cfg.pose_opt.init_mode = "clean"
+
+    t0 = time.time()
+    if kind == "train":
+        summary = train(cfg, noise)
+    else:
+        summary = train_with_pose_optimization(cfg, noise)
+    wall = time.time() - t0
+
+    row = {
+        "name": name,
+        "kind": kind,
+        "rot_deg": rot,
+        "trans_pct": trans,
+        "final_psnr": summary.get("final_val_psnr"),
+        "best_psnr": summary.get("best_val_psnr"),
+        "final_ssim": summary.get("final_val_ssim"),
+        "wall_time_s": round(wall, 1),
+        "reference_psnr": REFERENCE_PSNR.get(name),
+    }
+    if "final_pose_errors" in summary:
+        row["final_rot_err_deg"] = summary["final_pose_errors"][
+            "mean_rotation_error_deg"]
+        row["final_trans_err"] = summary["final_pose_errors"][
+            "mean_translation_error"]
+    return row
+
+
+def write_table(rows, out_root: Path):
+    with open(out_root / "GRID.json", "w") as f:
+        json.dump(rows, f, indent=2)
+    lines = [
+        "# Experiment grid — textured analytic scene",
+        "",
+        "Mirror of the reference's measured grid (SURVEY.md §6; lego). "
+        "Absolute PSNRs differ across scenes; the contract under test is "
+        "the PATTERN: monotone degradation with noise and pose-opt "
+        "recovery (+dB over the matching fixed-noisy run, clean-init "
+        "no-harm).",
+        "",
+        "| Experiment | PSNR (dB) | best | SSIM | rot err (deg) | trans err"
+        " | wall (s) | ref lego PSNR |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        rot = f"{r['final_rot_err_deg']:.3f}" if "final_rot_err_deg" in r else ""
+        te = f"{r['final_trans_err']:.4f}" if "final_trans_err" in r else ""
+        lines.append(
+            f"| {r['name']} | {r['final_psnr']:.2f} | {r['best_psnr']:.2f} "
+            f"| {r['final_ssim']:.4f} | {rot} | {te} | {r['wall_time_s']:.0f}"
+            f" | {r['reference_psnr']} |"
+        )
+    with open(out_root / "GRID.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(allow_abbrev=False)
+    p.add_argument("--iters", type=int, default=10000)
+    p.add_argument("--res", type=int, default=400)
+    p.add_argument("--num_train", type=int, default=40)
+    p.add_argument("--num_val", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--num_samples_fine", type=int, default=128)
+    p.add_argument("--val_every", type=int, default=2500)
+    p.add_argument("--steps_per_scan", type=int, default=250)
+    p.add_argument("--use_pallas", action="store_true", default=True)
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
+    p.add_argument("--out", type=str, default="results/grid")
+    p.add_argument("--only", nargs="*", default=None,
+                   help="subset of experiment names")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny smoke config (CI-sized)")
+    args = p.parse_args(argv)
+
+    if args.quick:
+        args.iters, args.res, args.num_train = 100, 48, 6
+        args.num_samples, args.num_samples_fine = 16, 16
+        args.val_every, args.steps_per_scan = 50, 50
+
+    out_root = Path(args.out)
+    out_root.mkdir(parents=True, exist_ok=True)
+    results_path = out_root / "GRID.json"
+    rows = []
+    if results_path.exists():
+        rows = json.load(open(results_path))   # resume: skip finished runs
+    done = {r["name"] for r in rows}
+
+    for name, kind, rot, trans in GRID:
+        if args.only and name not in args.only:
+            continue
+        if name in done:
+            print(f"[grid] {name}: already done, skipping")
+            continue
+        print(f"[grid] running {name} ({kind}, rot={rot} deg, trans={trans}%)")
+        row = run_one(args, name, kind, rot, trans, out_root)
+        rows.append(row)
+        write_table(rows, out_root)   # persist progress after every run
+    write_table(rows, out_root)
+
+
+if __name__ == "__main__":
+    main()
