@@ -85,6 +85,9 @@ class TrainConfig:
     # --resume (round-1 tunnel-wedge incident; see training/watchdog.py).
     # 0 disables.
     wedge_timeout_s: float = 0.0
+    # "npz" (single-file, reference-style) or "orbax" (directory-based,
+    # sharded-array aware, multi-host coordinated).
+    ckpt_backend: str = "npz"
 
 
 @dataclass

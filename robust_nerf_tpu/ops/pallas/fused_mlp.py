@@ -46,8 +46,10 @@ from ...models.nerf import nerf_apply
 import os
 
 TILE = 1024            # points per grid step (forward)
-TILE_BWD = 512         # points per grid step (backward: activations + dW
-                       # accumulators must fit VMEM alongside the weights)
+TILE_BWD = 256         # points per grid step (backward: activations + dW
+                       # accumulators must fit VMEM alongside the weights;
+                       # 512 landed 17.5 KB over the 16 MB scoped limit in
+                       # some surrounding-fusion layouts)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -1,4 +1,5 @@
-"""Checkpointing — npz pytree snapshots with the reference's naming scheme.
+"""Checkpointing — npz pytree snapshots with the reference's naming scheme,
+plus an optional orbax backend for multi-host runs.
 
 Reference layout (noisy_src/train.py:236-304): checkpoint_{iter:07d},
 checkpoint_latest, checkpoint_best (by val PSNR), each containing model +
@@ -8,6 +9,12 @@ metadata blob; restore unflattens into a template state built from the
 embedded config, so inference can rebuild the renderer from the checkpoint
 alone (reference: inference.py:33-72). Unlike the reference, --resume is
 actually wired into the training CLIs.
+
+backend="orbax" writes checkpoint_{iter:07d}.orbax/ directories through
+orbax.checkpoint (sharded-array aware, multi-host coordinated) with the
+same latest/best convention via symlinks and an embedded meta.json;
+find_checkpoint/load_checkpoint_raw handle both formats transparently, so
+--resume and inference work regardless of which backend wrote the run.
 """
 
 from __future__ import annotations
@@ -34,11 +41,19 @@ def save_checkpoint(
     metrics: Optional[Dict[str, Any]] = None,
     is_best: bool = False,
     extra_arrays: Optional[Dict[str, np.ndarray]] = None,
+    backend: str = "npz",
 ) -> Path:
     """Write checkpoint_{iter:07d}.npz + checkpoint_latest.npz
-    (+ checkpoint_best.npz when is_best)."""
+    (+ checkpoint_best.npz when is_best). backend="orbax" writes
+    .orbax/ directories with the same naming convention."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+
+    if backend == "orbax":
+        return _save_orbax(
+            output_dir, iteration, state_tree, config_dict,
+            noise_config_dict, metrics, is_best, extra_arrays,
+        )
 
     leaves, _ = _flatten(state_tree)
     payload = {f"leaf_{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
@@ -66,9 +81,70 @@ def save_checkpoint(
     return path
 
 
+def _meta_dict(iteration, leaves, config_dict, noise_config_dict, metrics,
+               fmt: str) -> Dict[str, Any]:
+    return {
+        "iteration": int(iteration),
+        "num_leaves": len(leaves),
+        "config": config_dict,
+        "noise_config": noise_config_dict,
+        "metrics": metrics or {},
+        "format": fmt,
+    }
+
+
+def _update_pointer(link: Path, target: Path):
+    """Point checkpoint_latest/.best at the newest .orbax dir (symlink)."""
+    if link.is_symlink() or link.exists():
+        link.unlink()
+    link.symlink_to(target.name)
+
+
+def _save_orbax(output_dir, iteration, state_tree, config_dict,
+                noise_config_dict, metrics, is_best, extra_arrays) -> Path:
+    import orbax.checkpoint as ocp
+
+    leaves, _ = _flatten(state_tree)
+    payload: Dict[str, Any] = {
+        "leaves": {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+    }
+    if extra_arrays:
+        payload["extra"] = {k: np.asarray(v) for k, v in extra_arrays.items()}
+
+    path = (Path(output_dir) / f"checkpoint_{iteration:07d}.orbax").resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    meta = _meta_dict(iteration, leaves, config_dict, noise_config_dict,
+                      metrics, "robust_nerf_tpu.orbax.v1")
+    with open(path / "meta.json", "w") as f:
+        json.dump(meta, f)
+
+    _update_pointer(Path(output_dir) / "checkpoint_latest.orbax", path)
+    if is_best:
+        _update_pointer(Path(output_dir) / "checkpoint_best.orbax", path)
+    return path
+
+
+def _load_orbax(path: Path) -> Tuple[list, Dict[str, Any], Dict[str, np.ndarray]]:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    with open(path / "meta.json") as f:
+        meta = json.load(f)
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    leaf_map = restored["leaves"]
+    leaves = [leaf_map[f"leaf_{i:05d}"] for i in range(meta["num_leaves"])]
+    extra = dict(restored.get("extra") or {})
+    return leaves, meta, extra
+
+
 def load_checkpoint_raw(path: Path) -> Tuple[list, Dict[str, Any], Dict[str, np.ndarray]]:
-    """Load leaves + metadata + extra arrays without needing a template."""
-    with np.load(Path(path), allow_pickle=False) as data:
+    """Load leaves + metadata + extra arrays without needing a template.
+    Accepts both .npz files and .orbax directories."""
+    path = Path(path)
+    if path.is_dir():
+        return _load_orbax(path)
+    with np.load(path, allow_pickle=False) as data:
         meta = json.loads(bytes(data["meta_json"].tobytes()).decode("utf-8"))
         leaves = [data[f"leaf_{i:05d}"] for i in range(meta["num_leaves"])]
         extra = {
@@ -93,11 +169,13 @@ def restore_into(template_tree: Any, leaves: list) -> Any:
 
 
 def find_checkpoint(path_or_dir: Path) -> Path:
-    """Accept a checkpoint file or an experiment dir (-> checkpoint_latest)."""
+    """Accept a checkpoint file/.orbax dir or an experiment dir
+    (-> checkpoint_latest of either backend)."""
     p = Path(path_or_dir)
-    if p.is_dir():
-        cand = p / "checkpoint_latest.npz"
-        if not cand.exists():
-            raise FileNotFoundError(f"No checkpoint_latest.npz in {p}")
-        return cand
+    if p.is_dir() and not (p / "meta.json").exists():
+        for name in ("checkpoint_latest.npz", "checkpoint_latest.orbax"):
+            cand = p / name
+            if cand.exists():
+                return cand
+        raise FileNotFoundError(f"No checkpoint_latest.{{npz,orbax}} in {p}")
     return p

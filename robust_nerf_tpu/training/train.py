@@ -14,6 +14,7 @@ import json
 import sys
 import time
 from datetime import datetime
+from functools import partial
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -91,6 +92,7 @@ def train(
 
     logger = ExperimentLogger(output_dir) if is_primary_host() else None
     config_dict = config_to_dict(cfg)
+    _save_ckpt = partial(save_checkpoint, backend=cfg.train.ckpt_backend)
     if logger is not None:
         logger.log_config(config_dict)
         with open(output_dir / "experiment_config.json", "w") as f:
@@ -206,14 +208,14 @@ def train(
             print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
             is_best = val.psnr > best_psnr
             best_psnr = max(best_psnr, val.psnr)
-            save_checkpoint(
+            _save_ckpt(
                 output_dir, i, state, config_dict,
                 config_to_dict(noise_config) if noise_config else None,
                 metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
                 is_best=is_best,
             )
         elif i % cfg.train.save_every == 0 and i < total and logger is not None:
-            save_checkpoint(
+            _save_ckpt(
                 output_dir, i, state, config_dict,
                 config_to_dict(noise_config) if noise_config else None,
             )
@@ -227,7 +229,7 @@ def train(
         )
         logger.log_validation(val)
         is_best = val.psnr > best_psnr
-        save_checkpoint(
+        _save_ckpt(
             output_dir, total, state, config_dict,
             config_to_dict(noise_config) if noise_config else None,
             metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
@@ -270,6 +272,7 @@ def build_config_from_args(args) -> NeRFConfig:
             seed=args.seed,
             resume=args.resume,
             wedge_timeout_s=args.wedge_timeout,
+            ckpt_backend=args.ckpt_backend,
         ),
         tpu=TPUConfig(
             compute_dtype=args.compute_dtype,
@@ -323,6 +326,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="seconds without dispatch progress before the "
                              "watchdog exits EX_TEMPFAIL(75) for a "
                              "supervised --resume relaunch (0 = off)")
+    parser.add_argument("--ckpt_backend", type=str, default="npz",
+                        choices=["npz", "orbax"],
+                        help="checkpoint format: single-file npz or orbax "
+                             "directories (multi-host coordinated)")
 
 
 def maybe_init_multihost(args):

@@ -16,6 +16,7 @@ import json
 import sys
 import time
 from datetime import datetime
+from functools import partial
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -93,6 +94,7 @@ def train_with_pose_optimization(
     output_dir = Path(cfg.train.output_dir) / exp_name
     logger = ExperimentLogger(output_dir) if is_primary_host() else None
     config_dict = config_to_dict(cfg)
+    _save_ckpt = partial(save_checkpoint, backend=cfg.train.ckpt_backend)
     if logger is not None:
         logger.log_config(config_dict)
         with open(output_dir / "experiment_config.json", "w") as f:
@@ -217,7 +219,7 @@ def train_with_pose_optimization(
             print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
             is_best = val.psnr > best_psnr
             best_psnr = max(best_psnr, val.psnr)
-            save_checkpoint(
+            _save_ckpt(
                 output_dir, i, state, config_dict,
                 config_to_dict(noise_config) if noise_config else None,
                 metrics={"val_psnr": val.psnr, "val_ssim": val.ssim, **errs},
@@ -229,7 +231,7 @@ def train_with_pose_optimization(
                 },
             )
         elif i % cfg.train.save_every == 0 and i < total and logger is not None:
-            save_checkpoint(
+            _save_ckpt(
                 output_dir, i, state, config_dict,
                 config_to_dict(noise_config) if noise_config else None,
             )
@@ -245,7 +247,7 @@ def train_with_pose_optimization(
             num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
         )
         logger.log_validation(val)
-        save_checkpoint(
+        _save_ckpt(
             output_dir, total, state, config_dict,
             config_to_dict(noise_config) if noise_config else None,
             metrics={"val_psnr": val.psnr, "val_ssim": val.ssim, **errs},

@@ -210,7 +210,12 @@ def main(argv=None):
             print(f"[grid] {name}: already done, skipping")
             continue
         print(f"[grid] running {name} ({kind}, rot={rot} deg, trans={trans}%)")
-        row = run_one(args, name, kind, rot, trans, out_root)
+        try:
+            row = run_one(args, name, kind, rot, trans, out_root)
+        except Exception as e:   # transient tunnel/compile failures
+            print(f"[grid] {name} failed ({e!r}); retrying once")
+            time.sleep(30)
+            row = run_one(args, name, kind, rot, trans, out_root)
         rows.append(row)
         write_table(rows, out_root)   # persist progress after every run
     write_table(rows, out_root)

@@ -88,6 +88,35 @@ class TestCheckpoint:
         save_checkpoint(tmp_path, 1, state, config_to_dict(cfg), is_best=True)
         assert (tmp_path / "checkpoint_best.npz").exists()
 
+    def test_orbax_backend_roundtrip(self, trained, tmp_path):
+        """--ckpt_backend orbax: same naming convention (.orbax dirs +
+        latest/best symlinks), transparently loadable by find_checkpoint /
+        load_checkpoint_raw (VERDICT round-1 item 9)."""
+        state, _, _, cfg = trained
+        save_checkpoint(
+            tmp_path, 120, state, config_to_dict(cfg),
+            metrics={"val_psnr": 20.0},
+            is_best=True,
+            extra_arrays={"initial_poses": np.eye(4, dtype=np.float32)[None]},
+            backend="orbax",
+        )
+        assert (tmp_path / "checkpoint_0000120.orbax").is_dir()
+        assert (tmp_path / "checkpoint_latest.orbax").exists()
+        assert (tmp_path / "checkpoint_best.orbax").exists()
+
+        leaves, meta, extra = load_checkpoint_raw(find_checkpoint(tmp_path))
+        assert meta["iteration"] == 120
+        assert meta["metrics"]["val_psnr"] == 20.0
+        assert "initial_poses" in extra
+        template = create_train_state(jax.random.PRNGKey(99), cfg)
+        restored = restore_into(template, leaves)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.models),
+            jax.tree_util.tree_leaves(restored.models),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == 120
+
     def test_leaf_mismatch_raises(self, trained, tmp_path):
         from robust_nerf_tpu.config import NeRFConfig, RenderConfig
 
