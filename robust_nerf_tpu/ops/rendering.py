@@ -201,6 +201,11 @@ def render_rays_chunked(
 def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg):
     from ..core.rays import get_ray_directions, get_rays
 
+    apply_fn = nerf_apply
+    if tpu_cfg.use_pallas:
+        from .pallas.fused_mlp import nerf_apply_fused
+
+        apply_fn = nerf_apply_fused
     directions = get_ray_directions(H, W, focal)
     rays_o, rays_d = get_rays(directions, pose)
     out = render_rays_chunked(
@@ -213,6 +218,7 @@ def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg)
         is_train=False,
         compute_dtype=jnp.dtype(tpu_cfg.compute_dtype),
         tile=tpu_cfg.eval_tile,
+        apply_fn=apply_fn,
         fused_resample=resolve_fused_resample(tpu_cfg.fused_resample),
     )
     which = "fine" if "rgb_fine" in out else "coarse"

@@ -157,6 +157,29 @@ class TestFusedResample:
         assert np.isfinite(total) and total > 0
 
 
+class TestEvalPath:
+    def test_render_image_pallas_matches_xla(self):
+        """Full-frame eval (render_image) through the fused forward must
+        match the XLA path — the val/inference surface uses it when
+        TPUConfig.use_pallas is set."""
+        from robust_nerf_tpu.config import ModelConfig, RenderConfig, TPUConfig
+        from robust_nerf_tpu.data.synthetic import pose_spherical
+        from robust_nerf_tpu.models.nerf import create_nerf
+        from robust_nerf_tpu.ops.rendering import render_image
+
+        mcfg = ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
+                           num_hidden_layers=2, skips=(0,))
+        rcfg = RenderConfig(num_samples=8, num_samples_fine=8)
+        models = create_nerf(jax.random.PRNGKey(0), mcfg)
+        pose = pose_spherical(30.0, -30.0, 4.0)
+        out_x = render_image(models, pose, 16, 16, 20.0, rcfg, mcfg,
+                             TPUConfig(eval_tile=64))
+        out_p = render_image(models, pose, 16, 16, 20.0, rcfg, mcfg,
+                             TPUConfig(eval_tile=64, use_pallas=True))
+        np.testing.assert_allclose(np.asarray(out_p["rgb"]),
+                                   np.asarray(out_x["rgb"]), atol=1e-5)
+
+
 class TestGradParity:
     def _grads(self, apply_fn, cfg, params, pts, dirs):
         def loss(p, x, d):
