@@ -127,8 +127,11 @@ class TPUConfig:
     steps_per_scan: int = 100
     # Data-parallel mesh axis size; 0 = use all visible devices.
     num_devices: int = 0
-    # Use the fused Pallas posenc+MLP kernel where available.
-    use_pallas: bool = False
+    # Fused Pallas posenc+MLP kernel (fwd+bwd): "auto" = on when running
+    # on a TPU backend (measured +24% over the XLA path, identical
+    # convergence), off elsewhere (interpret mode is for tests only).
+    # "on"/"off" or a bool force it. Resolve via ops.pallas.pallas_enabled.
+    use_pallas: object = "auto"
     # Pallas inverse-CDF resample kernel for hierarchical sampling
     # (ops/pallas/resample.py; exact-parity math). MEASURED A WASH inside
     # the training step on v5e (65.0k vs 65.2k rays/s): XLA already fuses

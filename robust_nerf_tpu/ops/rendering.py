@@ -201,8 +201,10 @@ def render_rays_chunked(
 def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg):
     from ..core.rays import get_ray_directions, get_rays
 
+    from .pallas import pallas_enabled
+
     apply_fn = nerf_apply
-    if tpu_cfg.use_pallas:
+    if pallas_enabled(tpu_cfg):
         from .pallas.fused_mlp import nerf_apply_fused
 
         apply_fn = nerf_apply_fused

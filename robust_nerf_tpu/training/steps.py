@@ -133,7 +133,9 @@ def _apply_fn_for(cfg: NeRFConfig):
     residuals and recomputes activations per tile in VMEM, so wrapping it
     in jax.checkpoint would only add a redundant forward pass — remat
     applies to the XLA path alone."""
-    if cfg.tpu.use_pallas:
+    from ..ops.pallas import pallas_enabled
+
+    if pallas_enabled(cfg.tpu):
         from ..ops.pallas.fused_mlp import nerf_apply_fused
 
         return nerf_apply_fused

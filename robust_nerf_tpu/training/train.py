@@ -321,7 +321,10 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for pod/"
                              "multi-process runs (coordinator from env)")
-    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--use_pallas", nargs="?", const="on", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="fused Pallas MLP kernels; default auto = on "
+                             "for the TPU backend (bare flag forces on)")
     parser.add_argument("--wedge_timeout", type=float, default=0.0,
                         help="seconds without dispatch progress before the "
                              "watchdog exits EX_TEMPFAIL(75) for a "
