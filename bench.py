@@ -56,7 +56,7 @@ def main():
             compute_dtype=os.environ.get(
                 "BENCH_DTYPE", "bfloat16" if on_accel else "float32"
             ),
-            remat=os.environ.get("BENCH_REMAT", "1") == "1",
+            remat=os.environ.get("BENCH_REMAT", "0") == "1",
             use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
             fused_resample=os.environ.get("BENCH_RESAMPLE", "auto"),
         ),

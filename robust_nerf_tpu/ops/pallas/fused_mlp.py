@@ -46,10 +46,10 @@ from ...models.nerf import nerf_apply
 import os
 
 TILE = 1024            # points per grid step (forward)
-TILE_BWD = 256         # points per grid step (backward: activations + dW
+TILE_BWD = 512         # points per grid step (backward: activations + dW
                        # accumulators must fit VMEM alongside the weights;
-                       # 512 landed 17.5 KB over the 16 MB scoped limit in
-                       # some surrounding-fusion layouts)
+                       # 512 fits only because skip-concat buffers are
+                       # never materialized — see _make_bwd_kernel)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -212,7 +212,10 @@ def _make_kernel(cfg: ModelConfig, compute_dtype):
 
 
 def supports(cfg: ModelConfig) -> bool:
-    return cfg.use_view_dirs
+    # a skip after the LAST trunk layer would make the heads consume a
+    # concat the fused backward never materializes — no reference config
+    # does that; fall back to XLA if one ever does
+    return cfg.use_view_dirs and (cfg.num_hidden_layers - 1) not in cfg.skips
 
 
 def _const_spec(shape):
@@ -322,23 +325,38 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         d_enc = (dir_id[...] * t_dir + dir_sin[...] * jnp.sin(t_dir)
                  + dir_cos[...] * jnp.cos(t_dir))
         x_enc_c = x_enc.astype(cdt)
+        d_enc_c = d_enc.astype(cdt)
+        S_pos = x_enc.shape[-1]
 
-        h_ins = []     # input of each trunk layer (compute dtype)
-        masks = []     # ReLU masks, taken on the f32 pre-activations
+        # Skip-concat inputs are never materialized: layers fed by
+        # concat([x_enc, h]) split their matmul over the packed weight's
+        # row blocks (w[:S_pos] / w[S_pos:]) — saves (T, S_pos+H) buffers
+        # in both directions, which is what keeps TILE_BWD=512 under the
+        # 16 MB scoped-VMEM stack limit.
+        h_outs = []    # post-ReLU trunk outputs (compute dtype)
+        masks = []     # ReLU masks on the f32 pre-activations
                        # (Mosaic rejects cmpf on packed-bf16 vectors)
-        h = x_enc_c
+        h_prev = x_enc_c
         for i in range(n_layers):
-            h_ins.append(h)
-            a = mm(h, w(2 * i)) + w(2 * i + 1)
+            if i > 0 and (i - 1) in skips:
+                a = (mm(x_enc_c, w(2 * i)[:S_pos])
+                     + mm(h_prev, w(2 * i)[S_pos:]) + w(2 * i + 1))
+            else:
+                a = mm(h_prev, w(2 * i)) + w(2 * i + 1)
             masks.append(a > 0.0)
-            hr = jnp.maximum(a, 0.0).astype(cdt)
-            h = jnp.concatenate([x_enc_c, hr], axis=-1) if i in skips else hr
+            h_prev = jnp.maximum(a, 0.0).astype(cdt)
+            h_outs.append(h_prev)
+        h = h_outs[-1]
+        assert (n_layers - 1) not in skips, (
+            "a skip after the last trunk layer is not supported by the "
+            "fused backward (heads would consume a concat)"
+        )
 
         idx = 2 * n_layers
         raw_sigma = mm(h, w(idx)) + w(idx + 1)                 # (T, 1)
         feats = (mm(h, w(idx + 2)) + w(idx + 3)).astype(cdt)   # (T, H)
-        hc_in = jnp.concatenate([feats, d_enc.astype(cdt)], axis=-1)
-        a_c = mm(hc_in, w(idx + 4)) + w(idx + 5)
+        a_c = (mm(feats, w(idx + 4)[:H])
+               + mm(d_enc_c, w(idx + 4)[H:]) + w(idx + 5))
         h_c = jnp.maximum(a_c, 0.0).astype(cdt)
         rgb_raw = mm(h_c, w(idx + 6)) + w(idx + 7)
         rgb = jax.nn.sigmoid(rgb_raw)
@@ -352,11 +370,11 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         dbr = jnp.sum(d_rgb_raw, axis=0, keepdims=True)
         d_hc = mm_a_bt(d_rgb_raw, w(idx + 6))
         d_ac = jnp.where(a_c > 0.0, d_hc, 0.0)
-        dWd = mm_at_b(hc_in, d_ac)
+        dWd_top = mm_at_b(feats, d_ac)                # rows [:H]
+        dWd_bot = mm_at_b(d_enc_c, d_ac)              # rows [H:]
         dbd = jnp.sum(d_ac, axis=0, keepdims=True)
-        d_hcin = mm_a_bt(d_ac, w(idx + 4))
-        d_feats = d_hcin[:, :H]
-        d_denc = d_hcin[:, H:]
+        d_feats = mm_a_bt(d_ac, w(idx + 4)[:H])
+        d_denc = mm_a_bt(d_ac, w(idx + 4)[H:])
 
         if cfg.sigma_activation == "softplus":
             d_raw_sigma = g_sigma * jax.nn.sigmoid(raw_sigma)
@@ -368,27 +386,26 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         dbf = jnp.sum(d_feats, axis=0, keepdims=True)
         d_h = mm_a_bt(d_raw_sigma, w(idx)) + mm_a_bt(d_feats, w(idx + 2))
 
-        S_pos = x_enc.shape[-1]
         d_xenc = jnp.zeros_like(x_enc)
         g = d_h
-        if (n_layers - 1) in skips:
-            d_xenc = d_xenc + g[:, :S_pos]
-            g = g[:, S_pos:]
-
-        trunk_w_grads = [None] * n_layers
+        trunk_w_grads = [None] * n_layers   # value or (top, bottom) pair
         trunk_b_grads = [None] * n_layers
         for i in range(n_layers - 1, -1, -1):
             d_a = jnp.where(masks[i], g, 0.0)
-            trunk_w_grads[i] = mm_at_b(h_ins[i], d_a)
             trunk_b_grads[i] = jnp.sum(d_a, axis=0, keepdims=True)
-            g_full = mm_a_bt(d_a, w(2 * i))
             if i == 0:
-                d_xenc = d_xenc + g_full
+                trunk_w_grads[i] = mm_at_b(x_enc_c, d_a)
+                d_xenc = d_xenc + mm_a_bt(d_a, w(0))
             elif (i - 1) in skips:
-                d_xenc = d_xenc + g_full[:, :S_pos]
-                g = g_full[:, S_pos:]
+                trunk_w_grads[i] = (
+                    mm_at_b(x_enc_c, d_a),            # rows [:S_pos]
+                    mm_at_b(h_outs[i - 1], d_a),      # rows [S_pos:]
+                )
+                d_xenc = d_xenc + mm_a_bt(d_a, w(2 * i)[:S_pos])
+                g = mm_a_bt(d_a, w(2 * i)[S_pos:])
             else:
-                g = g_full
+                trunk_w_grads[i] = mm_at_b(h_outs[i - 1], d_a)
+                g = mm_a_bt(d_a, w(2 * i))
 
         # encoding backward: enc = m_id*t + m_sin*sin t + m_cos*cos t
         d_tpos = d_xenc * (pos_id[...] + pos_sin[...] * jnp.cos(t_pos)
@@ -408,9 +425,14 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         contribs = []
         for i in range(n_layers):
             contribs += [trunk_w_grads[i], trunk_b_grads[i]]
-        contribs += [dWs, dbs, dWf, dbf, dWd, dbd, dWr, dbr]
+        contribs += [dWs, dbs, dWf, dbf, (dWd_top, dWd_bot), dbd, dWr, dbr]
         for r, c in zip(acc_refs, contribs):
-            r[...] += c
+            if isinstance(c, tuple):
+                top, bot = c
+                r[:top.shape[0], :] += top
+                r[top.shape[0]:, :] += bot
+            else:
+                r[...] += c
 
     return kernel
 
