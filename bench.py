@@ -57,7 +57,11 @@ def main():
                 "BENCH_DTYPE", "bfloat16" if on_accel else "float32"
             ),
             remat=os.environ.get("BENCH_REMAT", "0") == "1",
-            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+            # default: the production "auto" policy (XLA-noremat train
+            # step — measured fastest; see ops/pallas/__init__.py)
+            use_pallas={"1": "on", "0": "off"}.get(
+                os.environ.get("BENCH_PALLAS", "auto"), "auto"
+            ),
             fused_resample=os.environ.get("BENCH_RESAMPLE", "auto"),
         ),
     )

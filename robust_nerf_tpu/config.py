@@ -127,10 +127,12 @@ class TPUConfig:
     steps_per_scan: int = 100
     # Data-parallel mesh axis size; 0 = use all visible devices.
     num_devices: int = 0
-    # Fused Pallas posenc+MLP kernel (fwd+bwd): "auto" = on when running
-    # on a TPU backend (measured +24% over the XLA path, identical
-    # convergence), off elsewhere (interpret mode is for tests only).
-    # "on"/"off" or a bool force it. Resolve via ops.pallas.pallas_enabled.
+    # Fused Pallas posenc+MLP kernel. "auto" = measured-fastest per
+    # context on TPU: XLA (activations stored, remat off) for the full
+    # train step (68.3k vs 65.9k rays/s on v5e), fused forward for
+    # forward-only eval/rendering (coarse-192: 91.7k vs 69.8k). "on"/
+    # "off" or a bool force both contexts. Resolve via
+    # ops.pallas.pallas_enabled(cfg, context).
     use_pallas: object = "auto"
     # Pallas inverse-CDF resample kernel for hierarchical sampling
     # (ops/pallas/resample.py; exact-parity math). MEASURED A WASH inside

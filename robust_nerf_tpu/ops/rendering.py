@@ -204,7 +204,7 @@ def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg)
     from .pallas import pallas_enabled
 
     apply_fn = nerf_apply
-    if pallas_enabled(tpu_cfg):
+    if pallas_enabled(tpu_cfg, context="eval"):
         from .pallas.fused_mlp import nerf_apply_fused
 
         apply_fn = nerf_apply_fused

@@ -135,7 +135,7 @@ def _apply_fn_for(cfg: NeRFConfig):
     applies to the XLA path alone."""
     from ..ops.pallas import pallas_enabled
 
-    if pallas_enabled(cfg.tpu):
+    if pallas_enabled(cfg.tpu, context="train"):
         from ..ops.pallas.fused_mlp import nerf_apply_fused
 
         return nerf_apply_fused
@@ -269,7 +269,11 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
     n_steps = steps or cfg.tpu.steps_per_scan
     # Per-model clip for the pose-opt path: reference clips coarse and fine
     # separately at max_norm 1.0 each (train_pose_opt.py:398-401).
-    optimizer = make_optimizer(cfg, per_model_clip=True)
+    # ROBUST_NERF_COMBINED_CLIP=1 restores the combined-norm variant (A/B).
+    import os as _os
+
+    _per_model = _os.environ.get("ROBUST_NERF_COMBINED_CLIP", "0") != "1"
+    optimizer = make_optimizer(cfg, per_model_clip=_per_model)
     pose_optimizer = make_pose_optimizer(cfg)
     schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
     batch_size = cfg.data.batch_size

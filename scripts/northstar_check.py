@@ -56,6 +56,13 @@ def main(argv=None):
     # a MEAN over deltas gated on the delay, so the defaults are mild
     p.add_argument("--rotation_reg_weight", type=float, default=0.01)
     p.add_argument("--translation_reg_weight", type=float, default=0.001)
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="data-parallel mesh size (0 = all visible devices; "
+                        "pose grads psum across shards)")
+    p.add_argument("--steps_per_scan", type=int, default=250,
+                   help="use small values on CPU meshes (compile time)")
+    p.add_argument("--use_pallas", type=str, default="auto",
+                   choices=["auto", "on", "off"])
     args = p.parse_args(argv)
 
     cfg = rn.NeRFConfig()
@@ -63,7 +70,9 @@ def main(argv=None):
     cfg.render = rn.RenderConfig(
         num_samples=args.num_samples, num_samples_fine=args.num_samples_fine
     )
-    cfg.tpu = rn.TPUConfig(steps_per_scan=250, compute_dtype="bfloat16")
+    cfg.tpu = rn.TPUConfig(steps_per_scan=args.steps_per_scan,
+                           compute_dtype="bfloat16",
+                           use_pallas=args.use_pallas)
     cfg.pose_opt = rn.PoseOptConfig(
         pose_opt_delay=args.pose_opt_delay,
         pose_lr=args.pose_lr,
@@ -89,10 +98,19 @@ def main(argv=None):
     )
     mean_cam_dist = float(np.mean(np.linalg.norm(gt[:, :3, 3], axis=-1)))
 
-    bank = build_pixel_bank(scene)
+    from robust_nerf_tpu.parallel.mesh import create_mesh, replicate
+
+    cfg.tpu = rn.TPUConfig(
+        steps_per_scan=cfg.tpu.steps_per_scan,
+        compute_dtype=cfg.tpu.compute_dtype,
+        num_devices=args.num_devices,
+    )
+    mesh = create_mesh(args.num_devices)
+    bank = replicate(build_pixel_bank(scene), mesh)
     state = create_pose_opt_state(jax.random.PRNGKey(args.seed), cfg, jnp.asarray(noisy))
+    state = replicate(state, mesh)
     errs0 = jax.device_get(pose_errors(current_poses(state), jnp.asarray(gt)))
-    chunk = make_pose_opt_chunk(cfg, steps=cfg.tpu.steps_per_scan)
+    chunk = make_pose_opt_chunk(cfg, mesh=mesh, steps=cfg.tpu.steps_per_scan)
 
     t0 = time.time()
     i = 0
@@ -136,6 +154,8 @@ def main(argv=None):
         "val_psnr": float(np.mean(psnrs)),
         "iters": args.iters,
         "wall_time_s": round(wall, 1),
+        "num_devices": int(np.prod(mesh.devices.shape)),
+        "backend": jax.default_backend(),
         "target_met": bool(rot_final < 0.5 and trans_pct < 1.0),
     }
     print(json.dumps(result))

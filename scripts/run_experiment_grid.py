@@ -186,8 +186,8 @@ def main(argv=None):
     p.add_argument("--num_samples_fine", type=int, default=128)
     p.add_argument("--val_every", type=int, default=2500)
     p.add_argument("--steps_per_scan", type=int, default=250)
-    p.add_argument("--use_pallas", action="store_true", default=True)
-    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
+    p.add_argument("--use_pallas", type=str, default="auto",
+                   choices=["auto", "on", "off"])
     p.add_argument("--out", type=str, default="results/grid")
     p.add_argument("--only", nargs="*", default=None,
                    help="subset of experiment names")
