@@ -66,6 +66,9 @@ from .data.banks import (
     build_pixel_bank,
     sample_ray_batch,
     sample_pixel_batch,
+    shard_bank,
+    make_sharded_ray_sampler,
+    make_sharded_pixel_sampler,
 )
 
 __version__ = "0.1.0"

@@ -141,6 +141,12 @@ class TPUConfig:
     # resample" profile was misattributed. Kept as an option ("on"/"off";
     # "auto" = off) — revisit if batch sizes grow past VPU-bound regimes.
     fused_resample: str = "auto"
+    # Split the ray/pixel bank across the data-axis devices instead of
+    # replicating it (data/banks.py:shard_bank). Bank HBM then scales 1/D
+    # per chip — required for very large scenes (~576 MB replicated at
+    # 100x800x800). Sampling becomes stratified-over-shards (identical
+    # per-ray marginal probability, exactly batch/D draws per shard).
+    shard_bank: bool = False
     # Rematerialize MLP activations in the backward pass. With bf16
     # activations the full-pipeline step fits HBM comfortably at default
     # batch sizes and skipping the recompute is ~20% faster; enable for

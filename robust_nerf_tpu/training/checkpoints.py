@@ -15,6 +15,14 @@ orbax.checkpoint (sharded-array aware, multi-host coordinated) with the
 same latest/best convention via symlinks and an embedded meta.json;
 find_checkpoint/load_checkpoint_raw handle both formats transparently, so
 --resume and inference work regardless of which backend wrote the run.
+
+backend="orbax_async" serializes in a background thread
+(orbax AsyncCheckpointer): save_checkpoint returns as soon as the arrays
+are snapshotted, training overlaps the disk write, and the NEXT save (or
+finalize_checkpoints(), which orchestrators call at run end) completes the
+previous one — meta.json and the latest/best pointers are only written
+after the data is durably committed, so a crash mid-write never leaves a
+pointer at a half-written checkpoint.
 """
 
 from __future__ import annotations
@@ -49,10 +57,11 @@ def save_checkpoint(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    if backend == "orbax":
+    if backend in ("orbax", "orbax_async"):
         return _save_orbax(
             output_dir, iteration, state_tree, config_dict,
             noise_config_dict, metrics, is_best, extra_arrays,
+            async_save=(backend == "orbax_async"),
         )
 
     leaves, _ = _flatten(state_tree)
@@ -100,8 +109,43 @@ def _update_pointer(link: Path, target: Path):
     link.symlink_to(target.name)
 
 
+# In-flight async save: at most ONE pending write; the finalize step (wait,
+# then write meta.json + move latest/best pointers) runs before the next
+# save or at finalize_checkpoints().
+_ASYNC: Dict[str, Any] = {"ckptr": None, "pending": None}
+
+
+def _async_checkpointer():
+    import orbax.checkpoint as ocp
+
+    if _ASYNC["ckptr"] is None:
+        _ASYNC["ckptr"] = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC["ckptr"]
+
+
+def _finalize_step(path: Path, meta: Dict[str, Any], is_best: bool,
+                   output_dir: Path):
+    with open(path / "meta.json", "w") as f:
+        json.dump(meta, f)
+    _update_pointer(Path(output_dir) / "checkpoint_latest.orbax", path)
+    if is_best:
+        _update_pointer(Path(output_dir) / "checkpoint_best.orbax", path)
+
+
+def finalize_checkpoints():
+    """Complete any in-flight async checkpoint write (wait for the data
+    commit, then publish meta.json + latest/best pointers). Orchestrators
+    call this at the end of a run; a no-op for sync backends."""
+    if _ASYNC["pending"] is None:
+        return
+    _ASYNC["ckptr"].wait_until_finished()
+    _finalize_step(*_ASYNC["pending"])
+    _ASYNC["pending"] = None
+
+
 def _save_orbax(output_dir, iteration, state_tree, config_dict,
-                noise_config_dict, metrics, is_best, extra_arrays) -> Path:
+                noise_config_dict, metrics, is_best, extra_arrays,
+                async_save: bool = False) -> Path:
     import orbax.checkpoint as ocp
 
     leaves, _ = _flatten(state_tree)
@@ -112,16 +156,17 @@ def _save_orbax(output_dir, iteration, state_tree, config_dict,
         payload["extra"] = {k: np.asarray(v) for k, v in extra_arrays.items()}
 
     path = (Path(output_dir) / f"checkpoint_{iteration:07d}.orbax").resolve()
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
     meta = _meta_dict(iteration, leaves, config_dict, noise_config_dict,
                       metrics, "robust_nerf_tpu.orbax.v1")
-    with open(path / "meta.json", "w") as f:
-        json.dump(meta, f)
 
-    _update_pointer(Path(output_dir) / "checkpoint_latest.orbax", path)
-    if is_best:
-        _update_pointer(Path(output_dir) / "checkpoint_best.orbax", path)
+    if async_save:
+        finalize_checkpoints()               # complete the previous write
+        _async_checkpointer().save(path, payload, force=True)
+        _ASYNC["pending"] = (path, meta, is_best, Path(output_dir))
+        return path
+
+    ocp.PyTreeCheckpointer().save(path, payload, force=True)
+    _finalize_step(path, meta, is_best, Path(output_dir))
     return path
 
 

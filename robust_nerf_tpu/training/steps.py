@@ -25,7 +25,14 @@ import optax
 from ..config import NeRFConfig
 from ..core.rays import get_rays_for_pixels
 from ..core.se3 import apply_pose_deltas
-from ..data.banks import PixelBank, RayBank, sample_pixel_batch, sample_ray_batch
+from ..data.banks import (
+    PixelBank,
+    RayBank,
+    make_sharded_pixel_sampler,
+    make_sharded_ray_sampler,
+    sample_pixel_batch,
+    sample_ray_batch,
+)
 from ..evalx.metrics import psnr_from_mse
 from ..models.nerf import create_nerf, nerf_apply
 from ..ops.rendering import render_rays, resolve_fused_resample
@@ -126,6 +133,16 @@ def create_pose_opt_state(
     )
 
 
+def _bank_is_sharded(cfg: NeRFConfig, mesh) -> bool:
+    import numpy as _np
+
+    return (
+        bool(getattr(cfg.tpu, "shard_bank", False))
+        and mesh is not None
+        and int(_np.prod(mesh.devices.shape)) > 1
+    )
+
+
 def _apply_fn_for(cfg: NeRFConfig):
     """Select the MLP apply fn (XLA or fused Pallas) + optional remat.
 
@@ -190,11 +207,19 @@ def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
     schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
     batch_size = cfg.data.batch_size
     apply_fn = _apply_fn_for(cfg)
+    sharded_sampler = (
+        make_sharded_ray_sampler(mesh, batch_size)
+        if _bank_is_sharded(cfg, mesh)
+        else None
+    )
 
     def one_step(state: TrainState, bank: RayBank, base_key):
         key = jax.random.fold_in(base_key, state.step)
         k_batch, k_render = jax.random.split(key)
-        batch = sample_ray_batch(bank, k_batch, batch_size)
+        if sharded_sampler is not None:
+            batch = sharded_sampler(bank, k_batch)
+        else:
+            batch = sample_ray_batch(bank, k_batch, batch_size)
         batch = constrain_batch(batch, mesh)
 
         (loss, metrics), grads = jax.value_and_grad(
@@ -279,11 +304,19 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
     batch_size = cfg.data.batch_size
     po = cfg.pose_opt
     apply_fn = _apply_fn_for(cfg)
+    sharded_sampler = (
+        make_sharded_pixel_sampler(mesh, batch_size)
+        if _bank_is_sharded(cfg, mesh)
+        else None
+    )
 
     def one_step(state: PoseOptState, bank: PixelBank, base_key):
         key = jax.random.fold_in(base_key, state.step)
         k_batch, k_render = jax.random.split(key)
-        batch = sample_pixel_batch(bank, k_batch, batch_size)
+        if sharded_sampler is not None:
+            batch = sharded_sampler(bank, k_batch)
+        else:
+            batch = sample_pixel_batch(bank, k_batch, batch_size)
         batch = constrain_batch(batch, mesh)
         batch["directions"] = bank.directions   # (H, W, 3), replicated
 

@@ -31,13 +31,19 @@ from ..config import (
     config_to_dict,
 )
 from ..core.noise import NoiseConfig
-from ..data.banks import build_ray_bank
+from ..data.banks import build_ray_bank, shard_bank
 from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric
 from ..models.nerf import count_params
 from ..parallel.mesh import create_mesh, is_primary_host, replicate
 from ..utils.logger import ExperimentLogger, TrainingMetrics
-from .checkpoints import find_checkpoint, load_checkpoint_raw, restore_into, save_checkpoint
+from .checkpoints import (
+    finalize_checkpoints,
+    find_checkpoint,
+    load_checkpoint_raw,
+    restore_into,
+    save_checkpoint,
+)
 from .evaluation import evaluate
 from .steps import create_train_state, make_train_chunk
 from .watchdog import EX_TEMPFAIL, WedgeTimeout, run_with_watchdog
@@ -111,7 +117,10 @@ def train(
     train_scene = load_scene(cfg.data, "train")
     val_scene = load_scene(cfg.data, "val")
     bank, used_poses, noise_infos = build_ray_bank(train_scene, noise_config)
-    bank = replicate(bank, mesh)
+    if cfg.tpu.shard_bank and int(np.prod(mesh.devices.shape)) > 1:
+        bank = shard_bank(bank, mesh)   # 1/D bank HBM per chip
+    else:
+        bank = replicate(bank, mesh)
     if noise_infos and logger is not None:
         rots = [i.get("actual_rotation_deg", 0.0) for i in noise_infos]
         trans = [i.get("actual_translation_norm", 0.0) for i in noise_infos]
@@ -240,6 +249,7 @@ def train(
         with open(output_dir / "summary.json") as f:
             summary = json.load(f)
         print(f"Done. final val PSNR {val.psnr:.2f}, output: {output_dir}")
+    finalize_checkpoints()   # flush any in-flight orbax_async write
     return summary
 
 
@@ -279,6 +289,7 @@ def build_config_from_args(args) -> NeRFConfig:
             steps_per_scan=args.steps_per_scan,
             num_devices=args.num_devices,
             use_pallas=args.use_pallas,
+            shard_bank=args.shard_bank,
         ),
     )
 
@@ -318,6 +329,9 @@ def add_common_args(parser: argparse.ArgumentParser):
                         choices=["float32", "bfloat16"])
     parser.add_argument("--steps_per_scan", type=int, default=100)
     parser.add_argument("--num_devices", type=int, default=0)
+    parser.add_argument("--shard_bank", action="store_true",
+                        help="split the ray/pixel bank across devices "
+                             "(1/D bank HBM per chip) instead of replicating")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for pod/"
                              "multi-process runs (coordinator from env)")
@@ -330,9 +344,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "watchdog exits EX_TEMPFAIL(75) for a "
                              "supervised --resume relaunch (0 = off)")
     parser.add_argument("--ckpt_backend", type=str, default="npz",
-                        choices=["npz", "orbax"],
-                        help="checkpoint format: single-file npz or orbax "
-                             "directories (multi-host coordinated)")
+                        choices=["npz", "orbax", "orbax_async"],
+                        help="checkpoint format: single-file npz, orbax "
+                             "directories (multi-host coordinated), or "
+                             "orbax_async (disk write overlaps training)")
 
 
 def maybe_init_multihost(args):

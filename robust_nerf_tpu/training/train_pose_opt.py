@@ -35,13 +35,19 @@ from ..config import (
 )
 from ..core.noise import NoiseConfig, add_noise_to_poses
 from ..core.se3 import pose_errors
-from ..data.banks import build_pixel_bank
+from ..data.banks import build_pixel_bank, shard_bank
 from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric
 from ..models.nerf import count_params
 from ..parallel.mesh import create_mesh, is_primary_host, replicate
 from ..utils.logger import ExperimentLogger, TrainingMetrics
-from .checkpoints import find_checkpoint, load_checkpoint_raw, restore_into, save_checkpoint
+from .checkpoints import (
+    finalize_checkpoints,
+    find_checkpoint,
+    load_checkpoint_raw,
+    restore_into,
+    save_checkpoint,
+)
 from .evaluation import evaluate
 from .steps import create_pose_opt_state, current_poses, make_pose_opt_chunk
 from .train import _chunk_schedule
@@ -125,7 +131,11 @@ def train_with_pose_optimization(
             f"(max {init_errs['max_translation_error']:.4f})"
         )
 
-    bank = replicate(build_pixel_bank(train_scene), mesh)
+    bank = build_pixel_bank(train_scene)
+    if cfg.tpu.shard_bank and int(np.prod(mesh.devices.shape)) > 1:
+        bank = shard_bank(bank, mesh)   # 1/D bank HBM per chip
+    else:
+        bank = replicate(bank, mesh)
 
     key = jax.random.PRNGKey(cfg.train.seed)
     state = create_pose_opt_state(key, cfg, initial_poses)
@@ -276,6 +286,7 @@ def train_with_pose_optimization(
             f"{errs['mean_rotation_error_deg']:.4f} deg / trans "
             f"{errs['mean_translation_error']:.5f}; output: {output_dir}"
         )
+    finalize_checkpoints()   # flush any in-flight orbax_async write
     return summary
 
 

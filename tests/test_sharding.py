@@ -119,6 +119,113 @@ class TestShardedTraining:
             assert np.all(np.isfinite(np.asarray(m["loss"])))
 
 
+class TestShardedBank:
+    """TPUConfig.shard_bank: the bank is SPLIT across devices (1/D HBM per
+    chip) and each device samples only its local shard (data/banks.py)."""
+
+    @staticmethod
+    def _shard_cfg(cfg):
+        import dataclasses
+
+        return dataclasses.replace(
+            cfg, tpu=dataclasses.replace(cfg.tpu, shard_bank=True)
+        )
+
+    def test_shard_bank_placement(self, tiny_scene):
+        from robust_nerf_tpu.data.banks import build_pixel_bank, shard_bank
+
+        mesh = create_mesh(num_devices=8)
+        bank = build_pixel_bank(tiny_scene)
+        sbank = shard_bank(bank, mesh)
+        # flat leaves split on the data axis, padded to a multiple of 8
+        assert sbank.rgb.sharding == NamedSharding(mesh, P("data"))
+        assert sbank.rgb.shape[0] % 8 == 0
+        assert sbank.rgb.shape[0] >= bank.rgb.shape[0]
+        # the direction grid stays replicated
+        assert sbank.directions.sharding.is_fully_replicated
+
+    def test_sharded_sampler_locality(self, tiny_scene):
+        """Each device's slice of the sampled batch must come from its own
+        bank shard — the gather never crosses devices."""
+        from robust_nerf_tpu.data.banks import (
+            build_ray_bank,
+            make_sharded_ray_sampler,
+            shard_bank,
+        )
+
+        mesh = create_mesh(num_devices=8)
+        bank, _, _ = build_ray_bank(tiny_scene)
+        m = bank.rgb.shape[0]
+        # encode the global row index in the rgb field
+        tagged = bank._replace(
+            rgb=jnp.arange(m, dtype=jnp.float32)[:, None] * jnp.ones((1, 3))
+        )
+        sbank = shard_bank(tagged, mesh)
+        m_pad = sbank.rgb.shape[0]
+        per_shard = m_pad // 8
+        batch = make_sharded_ray_sampler(mesh, 64)(sbank, jax.random.PRNGKey(0))
+        got = np.asarray(batch["target_rgb"])[:, 0].astype(np.int64)
+        for d in range(8):
+            rows = got[d * 8:(d + 1) * 8]
+            lo, hi = d * per_shard, (d + 1) * per_shard
+            # padded wraparound rows alias low global indices — map back
+            rows = np.where(rows >= m, rows - m, rows)
+            in_shard = ((rows >= lo) & (rows < hi)) | (rows < (hi - m))
+            assert in_shard.all(), (d, rows)
+
+    def test_sampler_requires_divisible_batch(self, tiny_scene):
+        from robust_nerf_tpu.data.banks import make_sharded_ray_sampler
+
+        mesh = create_mesh(num_devices=8)
+        with pytest.raises(ValueError):
+            make_sharded_ray_sampler(mesh, 100)
+
+    def test_sharded_bank_training_converges(self, tiny_scene, tiny_config):
+        from robust_nerf_tpu.data.banks import shard_bank
+
+        cfg = self._shard_cfg(tiny_config)
+        mesh = create_mesh(num_devices=8)
+        bank, _, _ = build_ray_bank(tiny_scene)
+        state = replicate(create_train_state(jax.random.PRNGKey(0), cfg), mesh)
+        chunk = make_train_chunk(cfg, mesh=mesh, steps=30)
+        state, metrics = chunk(
+            state, shard_bank(bank, mesh), jax.random.PRNGKey(1)
+        )
+        losses = np.asarray(metrics["loss"])
+        assert np.all(np.isfinite(losses))
+        assert losses[-5:].mean() < losses[:5].mean()
+
+    def test_sharded_bank_pose_opt_updates_all_images(self, tiny_scene,
+                                                      tiny_config):
+        """With the bank split by contiguous pixel blocks, each image's pose
+        gradient originates on a single device; after enough steps EVERY
+        image's deltas must have moved (psum + replicated update works)."""
+        import dataclasses
+
+        from robust_nerf_tpu.data.banks import build_pixel_bank, shard_bank
+
+        cfg = self._shard_cfg(tiny_config)
+        cfg = dataclasses.replace(
+            cfg, pose_opt=PoseOptConfig(pose_opt_delay=0, pose_lr=1e-3)
+        )
+        mesh = create_mesh(num_devices=8)
+        noisy, _ = add_noise_to_poses(
+            tiny_scene.poses, NoiseConfig(rotation_noise_deg=2.0, seed=0)
+        )
+        bank = shard_bank(build_pixel_bank(tiny_scene), mesh)
+        state = replicate(
+            create_pose_opt_state(jax.random.PRNGKey(0), cfg, jnp.asarray(noisy)),
+            mesh,
+        )
+        chunk = make_pose_opt_chunk(cfg, mesh=mesh, steps=20)
+        state, metrics = chunk(state, bank, jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+        per_image = np.linalg.norm(
+            np.asarray(state.pose_params["rotation_deltas"]), axis=-1
+        )
+        assert (per_image > 0).all(), per_image
+
+
 class TestExplicitCollectives:
     def test_psum_grad_equivalence(self):
         """shard_map psum of per-shard grads == full-batch grad — the

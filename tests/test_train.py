@@ -117,6 +117,37 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == 120
 
+    def test_orbax_async_backend(self, trained, tmp_path):
+        """--ckpt_backend orbax_async: disk write overlaps training; the
+        latest/best pointers + meta.json are only published once the data
+        commit finishes (finalize before next save / at run end)."""
+        from robust_nerf_tpu.training.checkpoints import finalize_checkpoints
+
+        state, _, _, cfg = trained
+        save_checkpoint(
+            tmp_path, 60, state, config_to_dict(cfg), backend="orbax_async"
+        )
+        # second save finalizes the first; explicit flush finalizes the last
+        save_checkpoint(
+            tmp_path, 120, state, config_to_dict(cfg),
+            metrics={"val_psnr": 21.0}, is_best=True, backend="orbax_async",
+        )
+        finalize_checkpoints()
+        finalize_checkpoints()   # idempotent
+        assert (tmp_path / "checkpoint_0000060.orbax" / "meta.json").exists()
+        assert (tmp_path / "checkpoint_0000120.orbax" / "meta.json").exists()
+        assert (tmp_path / "checkpoint_best.orbax").exists()
+
+        leaves, meta, _ = load_checkpoint_raw(find_checkpoint(tmp_path))
+        assert meta["iteration"] == 120
+        template = create_train_state(jax.random.PRNGKey(99), cfg)
+        restored = restore_into(template, leaves)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.models),
+            jax.tree_util.tree_leaves(restored.models),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_leaf_mismatch_raises(self, trained, tmp_path):
         from robust_nerf_tpu.config import NeRFConfig, RenderConfig
 
