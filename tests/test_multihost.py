@@ -1,0 +1,26 @@
+"""Multi-process (multi-host analog) validation via scripts/multihost_smoke.py.
+
+Two real OS processes, each with 4 virtual CPU devices, form one 8-device
+global mesh with gloo collectives: jax.distributed.initialize, psum'd
+gradient updates spanning processes, identical replicated state on every
+process, primary-host-only printing. This is the closest this environment
+can get to a real pod for the `--multihost` path (SURVEY.md §5.8;
+the reference has no distributed layer at all).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_two_process_training_smoke():
+    result = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "multihost_smoke.py")],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "MULTIHOST_SMOKE_OK procs=2 devices=8" in result.stdout
