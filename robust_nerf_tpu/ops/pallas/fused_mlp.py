@@ -46,10 +46,12 @@ from ...models.nerf import nerf_apply
 import os
 
 TILE = 1024            # points per grid step (forward)
-TILE_BWD = 512         # points per grid step (backward: activations + dW
+TILE_BWD = int(os.environ.get("ROBUST_NERF_TILE_BWD", "512"))
+                       # points per grid step (backward: activations + dW
                        # accumulators must fit VMEM alongside the weights;
                        # 512 fits only because skip-concat buffers are
-                       # never materialized — see _make_bwd_kernel)
+                       # never materialized — see _make_bwd_kernel).
+                       # Env-overridable for tuning runs.
 
 
 def _round_up(x: int, m: int) -> int:
