@@ -56,6 +56,9 @@ def main(argv=None):
     # a MEAN over deltas gated on the delay, so the defaults are mild
     p.add_argument("--rotation_reg_weight", type=float, default=0.01)
     p.add_argument("--translation_reg_weight", type=float, default=0.001)
+    p.add_argument("--shard_bank", action="store_true",
+                   help="split the pixel bank across the mesh (1/D HBM per "
+                        "device) with per-device local sampling")
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel mesh size (0 = all visible devices; "
                         "pose grads psum across shards)")
@@ -104,9 +107,16 @@ def main(argv=None):
         steps_per_scan=cfg.tpu.steps_per_scan,
         compute_dtype=cfg.tpu.compute_dtype,
         num_devices=args.num_devices,
+        shard_bank=args.shard_bank,
     )
     mesh = create_mesh(args.num_devices)
-    bank = replicate(build_pixel_bank(scene), mesh)
+    bank = build_pixel_bank(scene)
+    if args.shard_bank and int(np.prod(mesh.devices.shape)) > 1:
+        from robust_nerf_tpu.data.banks import shard_bank
+
+        bank = shard_bank(bank, mesh)
+    else:
+        bank = replicate(bank, mesh)
     state = create_pose_opt_state(jax.random.PRNGKey(args.seed), cfg, jnp.asarray(noisy))
     state = replicate(state, mesh)
     errs0 = jax.device_get(pose_errors(current_poses(state), jnp.asarray(gt)))
@@ -155,6 +165,7 @@ def main(argv=None):
         "iters": args.iters,
         "wall_time_s": round(wall, 1),
         "num_devices": int(np.prod(mesh.devices.shape)),
+        "shard_bank": bool(args.shard_bank),
         "backend": jax.default_backend(),
         "target_met": bool(rot_final < 0.5 and trans_pct < 1.0),
     }
