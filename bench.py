@@ -63,6 +63,7 @@ def main():
                 os.environ.get("BENCH_PALLAS", "auto"), "auto"
             ),
             fused_resample=os.environ.get("BENCH_RESAMPLE", "auto"),
+            f8_residuals=os.environ.get("BENCH_F8", "0") == "1",
         ),
     )
 

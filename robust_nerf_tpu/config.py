@@ -147,6 +147,11 @@ class TPUConfig:
     # 100x800x800). Sampling becomes stratified-over-shards (identical
     # per-ray marginal probability, exactly batch/D draws per shard).
     shard_bank: bool = False
+    # Store trunk backward residuals in float8_e4m3 (1 byte/elem instead of
+    # bf16's 2): the step is activation-bandwidth-bound, so this trades dW
+    # quantization noise for residual traffic. Experimental — measure both
+    # speed and convergence before enabling for a real run.
+    f8_residuals: bool = False
     # Rematerialize MLP activations in the backward pass. With bf16
     # activations the full-pipeline step fits HBM comfortably at default
     # batch sizes and skipping the recompute is ~20% faster; enable for

@@ -125,6 +125,45 @@ def _matmul(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dtype) -> jnp.ndarra
     return (y + b).astype(dtype)
 
 
+@jax.custom_vjp
+def _matrelu_f8(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """relu(h @ w + b) whose backward reads the INPUT from a float8_e4m3
+    copy. The training step is activation-bandwidth-bound (DESIGN.md step
+    ablation); storing trunk residuals at 1 byte/elem instead of 2 halves
+    that traffic. Forward math is identical to _matmul+relu; only the dW
+    contraction sees the quantized activations (e4m3 saturates at 448 —
+    far above trunk activation range). Opt-in via TPUConfig.f8_residuals."""
+    y = jnp.dot(h, w.astype(h.dtype), preferred_element_type=jnp.float32) + b
+    return jnp.maximum(y, 0.0).astype(h.dtype)
+
+
+def _matrelu_f8_fwd(h, w, b):
+    y = _matrelu_f8(h, w, b)
+    # residuals: f8 input copy + relu mask (+ zero-size dtype token so the
+    # backward can restore h's original dtype without static aux)
+    return y, (h.astype(jnp.float8_e4m3fn), w, y > 0,
+               jnp.zeros((0,), h.dtype), jnp.zeros((0,), b.dtype))
+
+
+def _matrelu_f8_bwd(res, g):
+    h8, w, mask, h_tok, b_tok = res
+    cdt = jnp.bfloat16
+    h2 = h8.reshape(-1, h8.shape[-1]).astype(cdt)
+    gm = jnp.where(mask, g.astype(jnp.float32), 0.0)
+    gm2 = gm.reshape(-1, gm.shape[-1]).astype(cdt)
+    dh = jnp.dot(
+        gm2, w.astype(cdt).T, preferred_element_type=jnp.float32
+    ).reshape(g.shape[:-1] + (w.shape[0],)).astype(h_tok.dtype)
+    dw = jax.lax.dot_general(
+        h2, gm2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    db = jnp.sum(gm2, axis=0, dtype=jnp.float32).astype(b_tok.dtype)
+    return dh, dw, db
+
+
+_matrelu_f8.defvjp(_matrelu_f8_fwd, _matrelu_f8_bwd)
+
+
 def nerf_apply(
     params: Params,
     pts: jnp.ndarray,                  # (..., 3) world-space positions
@@ -132,6 +171,7 @@ def nerf_apply(
     cfg: ModelConfig,
     compute_dtype=jnp.float32,
     anneal_alpha=None,                 # BARF progress in [0, pos_freqs]; None = off
+    f8_residuals: bool = False,        # trunk backward reads f8 activations
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the MLP. Returns (rgb in [0,1] (..., 3), sigma >= 0 (..., 1)).
 
@@ -145,8 +185,13 @@ def nerf_apply(
     ).astype(compute_dtype)
     h = x_enc
     for i in range(cfg.num_hidden_layers):
-        h = _matmul(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"], compute_dtype)
-        h = jax.nn.relu(h)
+        if f8_residuals:
+            h = _matrelu_f8(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"])
+        else:
+            h = jax.nn.relu(
+                _matmul(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"],
+                        compute_dtype)
+            )
         if i in cfg.skips:
             h = jnp.concatenate([x_enc, h], axis=-1)
 

@@ -157,6 +157,8 @@ def _apply_fn_for(cfg: NeRFConfig):
 
         return nerf_apply_fused
     fn = nerf_apply
+    if getattr(cfg.tpu, "f8_residuals", False):
+        fn = partial(nerf_apply, f8_residuals=True)
     if cfg.tpu.remat:
         fn = jax.checkpoint(fn, static_argnums=(3, 4))
     return fn

@@ -124,6 +124,45 @@ class TestNeRFModel:
         assert float(sigma.min()) >= 0.0
 
 
+class TestF8Residuals:
+    """TPUConfig.f8_residuals: trunk backward reads float8 activation
+    copies. Forward must be bit-identical; gradients within e4m3
+    quantization error of the exact path."""
+
+    def _setup(self):
+        cfg = ModelConfig(pos_freqs=6, dir_freqs=2, hidden_dim=64,
+                          num_hidden_layers=4, skips=(2,))
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (256, 3),
+                                 minval=-2, maxval=2)
+        dirs = jax.random.normal(jax.random.PRNGKey(2), (256, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        return cfg, params, pts, dirs
+
+    def test_forward_identical(self):
+        cfg, params, pts, dirs = self._setup()
+        rgb0, sig0 = nerf_apply(params, pts, dirs, cfg)
+        rgb1, sig1 = nerf_apply(params, pts, dirs, cfg, f8_residuals=True)
+        np.testing.assert_array_equal(np.asarray(rgb0), np.asarray(rgb1))
+        np.testing.assert_array_equal(np.asarray(sig0), np.asarray(sig1))
+
+    def test_grads_within_quantization_error(self):
+        cfg, params, pts, dirs = self._setup()
+
+        def loss(p, f8):
+            rgb, sigma = nerf_apply(p, pts, dirs, cfg, f8_residuals=f8)
+            return jnp.mean(rgb ** 2) + 1e-3 * jnp.mean(sigma)
+
+        g0 = jax.grad(lambda p: loss(p, False))(params)
+        g1 = jax.grad(lambda p: loss(p, True))(params)
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+            # e4m3 has a 3-bit mantissa: dW error ~O(3%); dh and bias
+            # grads flow through unquantized tensors
+            assert rel < 0.05, (k, rel)
+
+
 class TestFreqAnnealing:
     """BARF coarse-to-fine encoding annealing (pose-opt robustness)."""
 
