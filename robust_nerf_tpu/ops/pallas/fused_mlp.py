@@ -89,12 +89,18 @@ def _encoding_tables(num_freqs: int, pad_to: int):
     return (P, m_id.reshape(1, -1), m_sin.reshape(1, -1), m_cos.reshape(1, -1))
 
 
-def _prepare_weights(params, cfg: ModelConfig):
+def _prepare_weights(params, cfg: ModelConfig, compute_dtype=None):
     """Repack params for the padded-slot encoding layout.
 
     pos encoding dim 63 -> S_pos (64); dir encoding 27 -> S_dir (32). Any
     weight consuming an encoding gets zero rows at the padding slots
     (zero rows x zero activations = identical math).
+
+    When `compute_dtype` is given, the W matrices are cast to it HERE, once
+    per call, instead of per grid step inside the kernel (the kernel's
+    `.astype(cdt)` then no-ops). This halves the weights' VMEM residency in
+    bf16 mode and drops ~19 per-tile VPU cast sweeps. Biases stay f32 —
+    they are added to the f32 matmul accumulators, not fed to the MXU.
     """
     pos_dim = 3 * (1 + 2 * cfg.pos_freqs)
     dir_dim = 3 * (1 + 2 * cfg.dir_freqs)
@@ -105,8 +111,10 @@ def _prepare_weights(params, cfg: ModelConfig):
     ws = []
 
     def add(w, b):
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
         ws.append(w)
-        ws.append(b.reshape(1, -1))
+        ws.append(b.reshape(1, -1).astype(jnp.float32))
 
     for i in range(cfg.num_hidden_layers):
         w = params[f"trunk_{i}_w"]
@@ -241,7 +249,7 @@ def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
         interpret = _interpret_default()
     n = pts2d.shape[0]
     compute_dtype = jnp.dtype(dtype_str)
-    weights, S_pos, S_dir = _prepare_weights(params, cfg)
+    weights, S_pos, S_dir = _prepare_weights(params, cfg, compute_dtype)
     pos_tabs = _encoding_tables(cfg.pos_freqs, S_pos)
     dir_tabs = _encoding_tables(cfg.dir_freqs, S_dir)
     tabs = [jnp.asarray(t) for t in (*pos_tabs, *dir_tabs)]
@@ -335,9 +343,13 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         # row blocks (w[:S_pos] / w[S_pos:]) — saves (T, S_pos+H) buffers
         # in both directions, which is what keeps TILE_BWD=512 under the
         # 16 MB scoped-VMEM stack limit.
+        # ReLU masks are NOT stored: d_relu is recovered as h_outs[i] > 0
+        # (post-ReLU output positive <=> pre-activation positive; at the
+        # measure-zero a == 0 boundary both give subgradient 0, matching
+        # torch). Keeping 8 (T, 256) compare results live from the forward
+        # recompute to the backward costs ~4 MB of the 16 MB scoped-VMEM
+        # stack at T=512 — dropping them is what lets TILE_BWD grow.
         h_outs = []    # post-ReLU trunk outputs (compute dtype)
-        masks = []     # ReLU masks on the f32 pre-activations
-                       # (Mosaic rejects cmpf on packed-bf16 vectors)
         h_prev = x_enc_c
         for i in range(n_layers):
             if i > 0 and (i - 1) in skips:
@@ -345,7 +357,6 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
                      + mm(h_prev, w(2 * i)[S_pos:]) + w(2 * i + 1))
             else:
                 a = mm(h_prev, w(2 * i)) + w(2 * i + 1)
-            masks.append(a > 0.0)
             h_prev = jnp.maximum(a, 0.0).astype(cdt)
             h_outs.append(h_prev)
         h = h_outs[-1]
@@ -393,7 +404,10 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         trunk_w_grads = [None] * n_layers   # value or (top, bottom) pair
         trunk_b_grads = [None] * n_layers
         for i in range(n_layers - 1, -1, -1):
-            d_a = jnp.where(masks[i], g, 0.0)
+            # mask from the stored output (cast first: Mosaic rejects cmpf
+            # on packed-bf16 vectors); one transient f32 copy at a time
+            # instead of 8 stored masks
+            d_a = jnp.where(h_outs[i].astype(jnp.float32) > 0.0, g, 0.0)
             trunk_b_grads[i] = jnp.sum(d_a, axis=0, keepdims=True)
             if i == 0:
                 trunk_w_grads[i] = mm_at_b(x_enc_c, d_a)
@@ -448,7 +462,7 @@ def _fused_backward(params, pts2d, dirs2d, grgb2d, gsig2d,
         interpret = _interpret_default()
     n = pts2d.shape[0]
     compute_dtype = jnp.dtype(dtype_str)
-    weights, S_pos, S_dir = _prepare_weights(params, cfg)
+    weights, S_pos, S_dir = _prepare_weights(params, cfg, compute_dtype)
     pos_tabs = _encoding_tables(cfg.pos_freqs, S_pos)
     dir_tabs = _encoding_tables(cfg.dir_freqs, S_dir)
     tabs = [jnp.asarray(t) for t in (*pos_tabs, *dir_tabs)]
