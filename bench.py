@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 9600.0   # BASELINE.md standard-path median
+REFERENCE_POSE_OPT_RAYS_PER_SEC = 4520.0   # BASELINE.md pose-opt-path median
 
 
 def main():
@@ -70,10 +71,33 @@ def main():
     # 400x400-equivalent ray bank (20 frames is plenty for a throughput bench)
     res = 400 if on_accel else 64
     scene = make_synthetic_scene(num_images=20, resolution=res, num_samples=128)
-    bank, _, _ = build_ray_bank(scene)
 
-    state = create_train_state(jax.random.PRNGKey(0), cfg)
-    chunk = make_train_chunk(cfg, steps=scan)
+    # BENCH_MODE=pose_opt measures the JOINT pose-optimization step (full
+    # differentiation through ray generation + SE(3) deltas) — comparable
+    # to BASELINE.md's pose-opt-path row (~4,520 rays/s on the reference).
+    mode = os.environ.get("BENCH_MODE", "train")
+    if mode == "pose_opt":
+        from robust_nerf_tpu.config import PoseOptConfig
+        from robust_nerf_tpu.data.banks import build_pixel_bank
+        from robust_nerf_tpu.training.steps import (
+            create_pose_opt_state,
+            make_pose_opt_chunk,
+        )
+
+        cfg.pose_opt = PoseOptConfig(pose_opt_delay=0)
+        bank = build_pixel_bank(scene)
+        state = create_pose_opt_state(
+            jax.random.PRNGKey(0), cfg, jnp.asarray(scene.poses)
+        )
+        chunk = make_pose_opt_chunk(cfg, steps=scan)
+        metric = "pose_opt_rays_per_sec"
+        ref = REFERENCE_POSE_OPT_RAYS_PER_SEC
+    else:
+        bank, _, _ = build_ray_bank(scene)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        chunk = make_train_chunk(cfg, steps=scan)
+        metric = "train_rays_per_sec"
+        ref = REFERENCE_RAYS_PER_SEC
     key = jax.random.PRNGKey(1)
 
     # warmup/compile. Sync via a HOST VALUE FETCH, not block_until_ready:
@@ -95,10 +119,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec",
+                "metric": metric,
                 "value": round(value, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(value / REFERENCE_RAYS_PER_SEC, 3),
+                "vs_baseline": round(value / ref, 3),
             }
         )
     )
