@@ -147,14 +147,20 @@ def _prepare_weights(params, cfg: ModelConfig, compute_dtype=None):
     return ws, S_pos, S_dir
 
 
-def _make_kernel(cfg: ModelConfig, compute_dtype):
+def _make_kernel(cfg: ModelConfig, compute_dtype, store_acts: bool = False):
+    """Forward kernel. With `store_acts`, the 8 post-ReLU trunk activations
+    are ALSO streamed out (compute dtype) so a store-mode backward can read
+    them instead of recomputing the trunk (ROBUST_NERF_PALLAS_STORE=1) —
+    the same store-vs-recompute tradeoff XLA's autodiff makes."""
     n_layers = cfg.num_hidden_layers
     skips = set(cfg.skips)
 
     def kernel(pts_ref, dirs_ref, pos_P, pos_id, pos_sin, pos_cos,
                dir_P, dir_id, dir_sin, dir_cos, *refs):
-        weight_refs = refs[:-2]
-        rgb_out, sigma_out = refs[-2], refs[-1]
+        n_out = 2 + (n_layers if store_acts else 0)
+        weight_refs = refs[:-n_out]
+        rgb_out, sigma_out = refs[-n_out], refs[-n_out + 1]
+        h_outs_refs = refs[-n_out + 2:] if store_acts else ()
 
         def w(i):
             return weight_refs[i][...]
@@ -181,6 +187,8 @@ def _make_kernel(cfg: ModelConfig, compute_dtype):
                 + w(idx + 1)
             )
             h = jnp.maximum(h, 0.0)
+            if store_acts:
+                h_outs_refs[i][...] = h.astype(h_outs_refs[i].dtype)
             if i in skips:
                 h = jnp.concatenate([x_enc, h], axis=-1)
             idx += 2
@@ -243,8 +251,12 @@ def _interpret_default() -> bool:
 
 
 def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
-                   interpret: Optional[bool] = None):
-    """(N, 3) points/dirs -> (rgb (N, 3), sigma (N, 1)); N % TILE == 0."""
+                   interpret: Optional[bool] = None,
+                   store_acts: bool = False):
+    """(N, 3) points/dirs -> (rgb (N, 3), sigma (N, 1)); N % TILE == 0.
+
+    With `store_acts`, additionally returns the list of 8 (N, H) post-ReLU
+    trunk activations in the compute dtype (for the store-mode backward)."""
     if interpret is None:
         interpret = _interpret_default()
     n = pts2d.shape[0]
@@ -254,6 +266,14 @@ def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
     dir_tabs = _encoding_tables(cfg.dir_freqs, S_dir)
     tabs = [jnp.asarray(t) for t in (*pos_tabs, *dir_tabs)]
     n_tiles = n // TILE
+
+    act_specs, act_shapes = [], []
+    if store_acts:
+        H = cfg.hidden_dim
+        for _ in range(cfg.num_hidden_layers):
+            act_specs.append(pl.BlockSpec((TILE, H), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            act_shapes.append(jax.ShapeDtypeStruct((n, H), compute_dtype))
 
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
@@ -266,19 +286,21 @@ def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
         out_specs=[
             pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + act_specs,
     )
 
-    rgb, sigma = pl.pallas_call(
-        _make_kernel(cfg, compute_dtype),
+    outs = pl.pallas_call(
+        _make_kernel(cfg, compute_dtype, store_acts=store_acts),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 3), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        ],
+        ] + act_shapes,
         interpret=interpret,
     )(pts2d, dirs2d, *tabs, *weights)
-    return rgb, sigma
+    if store_acts:
+        return outs[0], outs[1], list(outs[2:])
+    return outs[0], outs[1]
 
 
 def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
@@ -453,6 +475,196 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
     return kernel
 
 
+def _make_bwd_kernel_stored(cfg: ModelConfig, compute_dtype, n_weights: int):
+    """Store-mode backward: trunk activations arrive as INPUT tiles (written
+    by the store-mode forward), so the kernel recomputes only the cheap
+    pieces (both encodings + the three head matmuls) and spends its MXU time
+    on the actual gradient contractions. Lighter VMEM stack than the
+    recompute backward (no unrolled trunk pre-activation chain)."""
+    n_layers = cfg.num_hidden_layers
+    skips = set(cfg.skips)
+    H = cfg.hidden_dim
+    cdt = compute_dtype
+
+    def kernel(pts_ref, dirs_ref, grgb_ref, gsigma_ref,
+               pos_P, pos_id, pos_sin, pos_cos,
+               dir_P, dir_id, dir_sin, dir_cos, *refs):
+        h_refs = refs[:n_layers]
+        weight_refs = refs[n_layers:n_layers + n_weights]
+        dpts_ref = refs[n_layers + n_weights]
+        ddirs_ref = refs[n_layers + n_weights + 1]
+        acc_refs = refs[n_layers + n_weights + 2:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in acc_refs:
+                r[...] = jnp.zeros_like(r)
+
+        def w(i):
+            return weight_refs[i][...]
+
+        def mm(a, b):
+            return jnp.dot(a.astype(cdt), b.astype(cdt),
+                           preferred_element_type=jnp.float32)
+
+        def mm_at_b(a, b):
+            return jax.lax.dot_general(
+                a.astype(cdt), b.astype(cdt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def mm_a_bt(a, b):
+            return jax.lax.dot_general(
+                a.astype(cdt), b.astype(cdt),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def encode_t(x, P_ref):
+            return jnp.dot(x, P_ref[...], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        t_pos = encode_t(pts_ref[...], pos_P)
+        x_enc = (pos_id[...] * t_pos + pos_sin[...] * jnp.sin(t_pos)
+                 + pos_cos[...] * jnp.cos(t_pos))
+        t_dir = encode_t(dirs_ref[...], dir_P)
+        d_enc = (dir_id[...] * t_dir + dir_sin[...] * jnp.sin(t_dir)
+                 + dir_cos[...] * jnp.cos(t_dir))
+        x_enc_c = x_enc.astype(cdt)
+        d_enc_c = d_enc.astype(cdt)
+        S_pos = x_enc.shape[-1]
+
+        def h_i(i):
+            return h_refs[i][...]
+
+        assert (n_layers - 1) not in skips
+        h = h_i(n_layers - 1)
+
+        # head recompute (3 small matmuls; raw_sigma needed for softplus')
+        idx = 2 * n_layers
+        raw_sigma = mm(h, w(idx)) + w(idx + 1)
+        feats = (mm(h, w(idx + 2)) + w(idx + 3)).astype(cdt)
+        a_c = (mm(feats, w(idx + 4)[:H])
+               + mm(d_enc_c, w(idx + 4)[H:]) + w(idx + 5))
+        h_c = jnp.maximum(a_c, 0.0).astype(cdt)
+        rgb_raw = mm(h_c, w(idx + 6)) + w(idx + 7)
+        rgb = jax.nn.sigmoid(rgb_raw)
+
+        g_rgb = grgb_ref[...]
+        g_sigma = gsigma_ref[...]
+
+        d_rgb_raw = g_rgb * rgb * (1.0 - rgb)
+        dWr = mm_at_b(h_c, d_rgb_raw)
+        dbr = jnp.sum(d_rgb_raw, axis=0, keepdims=True)
+        d_hc = mm_a_bt(d_rgb_raw, w(idx + 6))
+        d_ac = jnp.where(a_c > 0.0, d_hc, 0.0)
+        dWd_top = mm_at_b(feats, d_ac)
+        dWd_bot = mm_at_b(d_enc_c, d_ac)
+        dbd = jnp.sum(d_ac, axis=0, keepdims=True)
+        d_feats = mm_a_bt(d_ac, w(idx + 4)[:H])
+        d_denc = mm_a_bt(d_ac, w(idx + 4)[H:])
+
+        if cfg.sigma_activation == "softplus":
+            d_raw_sigma = g_sigma * jax.nn.sigmoid(raw_sigma)
+        else:
+            d_raw_sigma = jnp.where(raw_sigma > 0.0, g_sigma, 0.0)
+        dWs = mm_at_b(h, d_raw_sigma)
+        dbs = jnp.sum(d_raw_sigma, axis=0, keepdims=True)
+        dWf = mm_at_b(h, d_feats)
+        dbf = jnp.sum(d_feats, axis=0, keepdims=True)
+        d_h = mm_a_bt(d_raw_sigma, w(idx)) + mm_a_bt(d_feats, w(idx + 2))
+
+        d_xenc = jnp.zeros_like(x_enc)
+        g = d_h
+        trunk_w_grads = [None] * n_layers
+        trunk_b_grads = [None] * n_layers
+        for i in range(n_layers - 1, -1, -1):
+            d_a = jnp.where(h_i(i).astype(jnp.float32) > 0.0, g, 0.0)
+            trunk_b_grads[i] = jnp.sum(d_a, axis=0, keepdims=True)
+            if i == 0:
+                trunk_w_grads[i] = mm_at_b(x_enc_c, d_a)
+                d_xenc = d_xenc + mm_a_bt(d_a, w(0))
+            elif (i - 1) in skips:
+                trunk_w_grads[i] = (
+                    mm_at_b(x_enc_c, d_a),
+                    mm_at_b(h_i(i - 1), d_a),
+                )
+                d_xenc = d_xenc + mm_a_bt(d_a, w(2 * i)[:S_pos])
+                g = mm_a_bt(d_a, w(2 * i)[S_pos:])
+            else:
+                trunk_w_grads[i] = mm_at_b(h_i(i - 1), d_a)
+                g = mm_a_bt(d_a, w(2 * i))
+
+        d_tpos = d_xenc * (pos_id[...] + pos_sin[...] * jnp.cos(t_pos)
+                           - pos_cos[...] * jnp.sin(t_pos))
+        dpts_ref[...] = jax.lax.dot_general(
+            d_tpos, pos_P[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d_tdir = d_denc.astype(jnp.float32) * (
+            dir_id[...] + dir_sin[...] * jnp.cos(t_dir)
+            - dir_cos[...] * jnp.sin(t_dir))
+        ddirs_ref[...] = jax.lax.dot_general(
+            d_tdir, dir_P[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        contribs = []
+        for i in range(n_layers):
+            contribs += [trunk_w_grads[i], trunk_b_grads[i]]
+        contribs += [dWs, dbs, dWf, dbf, (dWd_top, dWd_bot), dbd, dWr, dbr]
+        for r, c in zip(acc_refs, contribs):
+            if isinstance(c, tuple):
+                top, bot = c
+                r[:top.shape[0], :] += top
+                r[top.shape[0]:, :] += bot
+            else:
+                r[...] += c
+
+    return kernel
+
+
+def _fused_backward_stored(params, pts2d, dirs2d, grgb2d, gsig2d, h_list,
+                           cfg: ModelConfig, dtype_str: str,
+                           interpret: Optional[bool] = None):
+    """Store-mode backward driver; all inputs padded to the same N with
+    N % tile == 0 (tile = TILE_BWD if it divides TILE, else TILE)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = pts2d.shape[0]
+    tile = TILE_BWD if TILE % TILE_BWD == 0 else TILE
+    compute_dtype = jnp.dtype(dtype_str)
+    weights, S_pos, S_dir = _prepare_weights(params, cfg, compute_dtype)
+    pos_tabs = _encoding_tables(cfg.pos_freqs, S_pos)
+    dir_tabs = _encoding_tables(cfg.dir_freqs, S_dir)
+    tabs = [jnp.asarray(t) for t in (*pos_tabs, *dir_tabs)]
+    n_tiles = n // tile
+    H = cfg.hidden_dim
+
+    tile_spec = lambda width: pl.BlockSpec(
+        (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[tile_spec(3), tile_spec(3), tile_spec(3), tile_spec(1)]
+        + [_const_spec(t.shape) for t in tabs]
+        + [tile_spec(H) for _ in h_list]
+        + [_const_spec(wt.shape) for wt in weights],
+        out_specs=[tile_spec(3), tile_spec(3)]
+        + [_const_spec(wt.shape) for wt in weights],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n, 3), jnp.float32),
+    ] + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in weights]
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel_stored(cfg, compute_dtype, len(weights)),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(pts2d, dirs2d, grgb2d, gsig2d, *tabs, *h_list, *weights)
+    return outs[2:], outs[0], outs[1]
+
+
 def _fused_backward(params, pts2d, dirs2d, grgb2d, gsig2d,
                     cfg: ModelConfig, dtype_str: str,
                     interpret: Optional[bool] = None):
@@ -535,13 +747,42 @@ def _fused_with_grad(params, pts, viewdirs, cfg, dtype_str):
     )
 
 
+def _store_mode() -> bool:
+    """ROBUST_NERF_PALLAS_STORE=1: the forward streams the 8 trunk
+    activations to HBM (bf16) and the backward reads them instead of
+    recomputing the trunk per tile — the same store-vs-recompute tradeoff
+    XLA's autodiff makes, inside the fused kernels."""
+    return (os.environ.get("ROBUST_NERF_PALLAS_STORE", "0") == "1"
+            and os.environ.get("ROBUST_NERF_PALLAS_BWD", "1") == "1")
+
+
 def _fused_fwd(params, pts, viewdirs, cfg, dtype_str):
+    if _store_mode():
+        batch_shape = pts.shape[:-1]
+        n = int(np.prod(batch_shape)) if batch_shape else 1
+        pad = (-n) % TILE
+        # f32 tiles: bf16 pts/dirs (the train step samples in the compute
+        # dtype) crash the Mosaic compile of the store-mode kernel pair
+        # (remote compile helper exit 1, measured); the upcast is exact
+        # and the HIGHEST-precision encoding wants f32 anyway.
+        pts2d = jnp.pad(pts.reshape(-1, 3).astype(jnp.float32),
+                        ((0, pad), (0, 0)))
+        dirs2d = jnp.pad(viewdirs.reshape(-1, 3).astype(jnp.float32),
+                         ((0, pad), (0, 0)))
+        rgb, sigma, h_list = _fused_forward(
+            params, pts2d, dirs2d, cfg, dtype_str, store_acts=True
+        )
+        out = (
+            rgb[:n].reshape(batch_shape + (3,)),
+            sigma[:n].reshape(batch_shape + (1,)),
+        )
+        return out, (params, pts, viewdirs, h_list)
     out = _fused_with_grad(params, pts, viewdirs, cfg, dtype_str)
-    return out, (params, pts, viewdirs)
+    return out, (params, pts, viewdirs, None)
 
 
 def _fused_bwd(cfg, dtype_str, residuals, cotangents):
-    params, pts, viewdirs = residuals
+    params, pts, viewdirs, h_list = residuals
     if os.environ.get("ROBUST_NERF_PALLAS_BWD", "1") != "1":
         # XLA-recompute fallback (exact gradients of the same math) — kept
         # for A/B measurement and as an escape hatch.
@@ -554,17 +795,27 @@ def _fused_bwd(cfg, dtype_str, residuals, cotangents):
     g_rgb, g_sigma = cotangents
     batch_shape = pts.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
-    pad = (-n) % TILE_BWD
-    pts2d = jnp.pad(pts.reshape(-1, 3), ((0, pad), (0, 0)))
-    dirs2d = jnp.pad(viewdirs.reshape(-1, 3), ((0, pad), (0, 0)))
+    # store mode: the activation arrays are padded to the forward's TILE,
+    # so every backward input must pad to the same N; f32 tiles for the
+    # same Mosaic-compile reason as in _fused_fwd's store branch
+    pad = (-n) % (TILE if h_list is not None else TILE_BWD)
+    in_dt = jnp.float32 if h_list is not None else pts.dtype
+    pts2d = jnp.pad(pts.reshape(-1, 3).astype(in_dt), ((0, pad), (0, 0)))
+    dirs2d = jnp.pad(viewdirs.reshape(-1, 3).astype(in_dt),
+                     ((0, pad), (0, 0)))
     # zero-padded cotangents contribute exactly zero to every dW/db
     grgb2d = jnp.pad(g_rgb.reshape(-1, 3).astype(jnp.float32),
                      ((0, pad), (0, 0)))
     gsig2d = jnp.pad(g_sigma.reshape(-1, 1).astype(jnp.float32),
                      ((0, pad), (0, 0)))
-    dws, d_pts, d_dirs = _fused_backward(
-        params, pts2d, dirs2d, grgb2d, gsig2d, cfg, dtype_str
-    )
+    if h_list is not None:
+        dws, d_pts, d_dirs = _fused_backward_stored(
+            params, pts2d, dirs2d, grgb2d, gsig2d, h_list, cfg, dtype_str
+        )
+    else:
+        dws, d_pts, d_dirs = _fused_backward(
+            params, pts2d, dirs2d, grgb2d, gsig2d, cfg, dtype_str
+        )
     S_pos = _round_up(3 * (1 + 2 * cfg.pos_freqs), 64)
     S_dir = _round_up(3 * (1 + 2 * cfg.dir_freqs), 32)
     d_params = _unpack_weight_grads(dws, cfg, S_pos, S_dir)

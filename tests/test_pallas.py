@@ -241,3 +241,32 @@ class TestGradParity:
             np.testing.assert_allclose(
                 np.asarray(gp[k]), ref, atol=5e-5 * scale, err_msg=k
             )
+
+    def test_store_mode_grads_match_xla(self, setup, monkeypatch):
+        """ROBUST_NERF_PALLAS_STORE=1: the forward streams trunk
+        activations to HBM and the backward reads them instead of
+        recomputing — gradients must match the XLA reference exactly like
+        the recompute backward does (same tolerances, incl. a
+        non-tile-aligned batch so padded activation rows are exercised)."""
+        monkeypatch.setenv("ROBUST_NERF_PALLAS_STORE", "1")
+        cfg, params, pts, dirs = setup
+        m = 700   # non-tile-aligned: padded rows flow through stored h
+        gp_x, gx_x, gd_x = self._grads(
+            nerf_apply, cfg, params, pts[:m], dirs[:m])
+        gp_p, gx_p, gd_p = self._grads(
+            nerf_apply_fused, cfg, params, pts[:m], dirs[:m])
+        for k in gp_x:
+            ref = np.asarray(gp_x[k])
+            scale = max(1e-3, float(np.abs(ref).max()))
+            np.testing.assert_allclose(
+                np.asarray(gp_p[k]), ref, atol=1e-4 * scale,
+                err_msg=f"param grad {k} (store mode)",
+            )
+        np.testing.assert_allclose(
+            np.asarray(gx_p), np.asarray(gx_x), atol=5e-4,
+            err_msg="d_pts (store mode)",
+        )
+        np.testing.assert_allclose(
+            np.asarray(gd_p), np.asarray(gd_x), atol=5e-4,
+            err_msg="d_dirs (store mode)",
+        )
