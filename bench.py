@@ -11,6 +11,10 @@ Prints ONE JSON line:
    "vs_baseline": N / 9600}
 vs_baseline compares against the reference's measured ~9.6k rays/s
 (BASELINE.md: outputs/lego_clean_*/logs/train_metrics.csv median).
+
+BENCH_MODE=pose_opt instead measures the joint pose-optimization step and
+prints {"metric": "pose_opt_rays_per_sec", ..., "vs_baseline": N / 4520}
+against the reference's pose-opt-path median.
 """
 
 import json

@@ -303,9 +303,13 @@ def _fused_forward(params, pts2d, dirs2d, cfg: ModelConfig, dtype_str: str,
     return outs[0], outs[1]
 
 
-def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
-    """Fused backward: recompute activations per tile in VMEM, backprop
-    through all matmuls on the MXU, accumulate dW/db across grid steps."""
+def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int,
+                     stored: bool = False):
+    """Fused backward: backprop through all matmuls on the MXU, accumulate
+    dW/db across grid steps. Trunk activations come from one of two
+    sources — recomputed per tile in VMEM (default), or read from input
+    tiles written by the store-mode forward (`stored`, the
+    ROBUST_NERF_PALLAS_STORE=1 path); all gradient math is shared."""
     n_layers = cfg.num_hidden_layers
     skips = set(cfg.skips)
     H = cfg.hidden_dim
@@ -314,6 +318,8 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
     def kernel(pts_ref, dirs_ref, grgb_ref, gsigma_ref,
                pos_P, pos_id, pos_sin, pos_cos,
                dir_P, dir_id, dir_sin, dir_cos, *refs):
+        if stored:
+            h_refs, refs = refs[:n_layers], refs[n_layers:]
         weight_refs = refs[:n_weights]
         dpts_ref, ddirs_ref = refs[n_weights], refs[n_weights + 1]
         acc_refs = refs[n_weights + 2:]
@@ -365,23 +371,30 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         # row blocks (w[:S_pos] / w[S_pos:]) — saves (T, S_pos+H) buffers
         # in both directions, which is what keeps TILE_BWD=512 under the
         # 16 MB scoped-VMEM stack limit.
-        # ReLU masks are NOT stored: d_relu is recovered as h_outs[i] > 0
+        # ReLU masks are NOT stored: d_relu is recovered as h_i(i) > 0
         # (post-ReLU output positive <=> pre-activation positive; at the
         # measure-zero a == 0 boundary both give subgradient 0, matching
         # torch). Keeping 8 (T, 256) compare results live from the forward
         # recompute to the backward costs ~4 MB of the 16 MB scoped-VMEM
         # stack at T=512 — dropping them is what lets TILE_BWD grow.
-        h_outs = []    # post-ReLU trunk outputs (compute dtype)
-        h_prev = x_enc_c
-        for i in range(n_layers):
-            if i > 0 and (i - 1) in skips:
-                a = (mm(x_enc_c, w(2 * i)[:S_pos])
-                     + mm(h_prev, w(2 * i)[S_pos:]) + w(2 * i + 1))
-            else:
-                a = mm(h_prev, w(2 * i)) + w(2 * i + 1)
-            h_prev = jnp.maximum(a, 0.0).astype(cdt)
-            h_outs.append(h_prev)
-        h = h_outs[-1]
+        if stored:
+            def h_i(i):                  # stream from the fwd's HBM copies
+                return h_refs[i][...]
+        else:
+            h_outs = []                  # recompute (compute dtype)
+            h_prev = x_enc_c
+            for i in range(n_layers):
+                if i > 0 and (i - 1) in skips:
+                    a = (mm(x_enc_c, w(2 * i)[:S_pos])
+                         + mm(h_prev, w(2 * i)[S_pos:]) + w(2 * i + 1))
+                else:
+                    a = mm(h_prev, w(2 * i)) + w(2 * i + 1)
+                h_prev = jnp.maximum(a, 0.0).astype(cdt)
+                h_outs.append(h_prev)
+
+            def h_i(i):
+                return h_outs[i]
+        h = h_i(n_layers - 1)
         assert (n_layers - 1) not in skips, (
             "a skip after the last trunk layer is not supported by the "
             "fused backward (heads would consume a concat)"
@@ -426,10 +439,10 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
         trunk_w_grads = [None] * n_layers   # value or (top, bottom) pair
         trunk_b_grads = [None] * n_layers
         for i in range(n_layers - 1, -1, -1):
-            # mask from the stored output (cast first: Mosaic rejects cmpf
+            # mask from the kept output (cast first: Mosaic rejects cmpf
             # on packed-bf16 vectors); one transient f32 copy at a time
             # instead of 8 stored masks
-            d_a = jnp.where(h_outs[i].astype(jnp.float32) > 0.0, g, 0.0)
+            d_a = jnp.where(h_i(i).astype(jnp.float32) > 0.0, g, 0.0)
             trunk_b_grads[i] = jnp.sum(d_a, axis=0, keepdims=True)
             if i == 0:
                 trunk_w_grads[i] = mm_at_b(x_enc_c, d_a)
@@ -437,12 +450,12 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
             elif (i - 1) in skips:
                 trunk_w_grads[i] = (
                     mm_at_b(x_enc_c, d_a),            # rows [:S_pos]
-                    mm_at_b(h_outs[i - 1], d_a),      # rows [S_pos:]
+                    mm_at_b(h_i(i - 1), d_a),         # rows [S_pos:]
                 )
                 d_xenc = d_xenc + mm_a_bt(d_a, w(2 * i)[:S_pos])
                 g = mm_a_bt(d_a, w(2 * i)[S_pos:])
             else:
-                trunk_w_grads[i] = mm_at_b(h_outs[i - 1], d_a)
+                trunk_w_grads[i] = mm_at_b(h_i(i - 1), d_a)
                 g = mm_a_bt(d_a, w(2 * i))
 
         # encoding backward: enc = m_id*t + m_sin*sin t + m_cos*cos t
@@ -475,163 +488,25 @@ def _make_bwd_kernel(cfg: ModelConfig, compute_dtype, n_weights: int):
     return kernel
 
 
-def _make_bwd_kernel_stored(cfg: ModelConfig, compute_dtype, n_weights: int):
-    """Store-mode backward: trunk activations arrive as INPUT tiles (written
-    by the store-mode forward), so the kernel recomputes only the cheap
-    pieces (both encodings + the three head matmuls) and spends its MXU time
-    on the actual gradient contractions. Lighter VMEM stack than the
-    recompute backward (no unrolled trunk pre-activation chain)."""
-    n_layers = cfg.num_hidden_layers
-    skips = set(cfg.skips)
-    H = cfg.hidden_dim
-    cdt = compute_dtype
+def _fused_backward(params, pts2d, dirs2d, grgb2d, gsig2d,
+                    cfg: ModelConfig, dtype_str: str,
+                    interpret: Optional[bool] = None,
+                    h_list=None):
+    """(N,3)/(N,3)/(N,3)/(N,1) padded inputs -> (packed dW list, d_pts, d_dirs).
 
-    def kernel(pts_ref, dirs_ref, grgb_ref, gsigma_ref,
-               pos_P, pos_id, pos_sin, pos_cos,
-               dir_P, dir_id, dir_sin, dir_cos, *refs):
-        h_refs = refs[:n_layers]
-        weight_refs = refs[n_layers:n_layers + n_weights]
-        dpts_ref = refs[n_layers + n_weights]
-        ddirs_ref = refs[n_layers + n_weights + 1]
-        acc_refs = refs[n_layers + n_weights + 2:]
-
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            for r in acc_refs:
-                r[...] = jnp.zeros_like(r)
-
-        def w(i):
-            return weight_refs[i][...]
-
-        def mm(a, b):
-            return jnp.dot(a.astype(cdt), b.astype(cdt),
-                           preferred_element_type=jnp.float32)
-
-        def mm_at_b(a, b):
-            return jax.lax.dot_general(
-                a.astype(cdt), b.astype(cdt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        def mm_a_bt(a, b):
-            return jax.lax.dot_general(
-                a.astype(cdt), b.astype(cdt),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        def encode_t(x, P_ref):
-            return jnp.dot(x, P_ref[...], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-
-        t_pos = encode_t(pts_ref[...], pos_P)
-        x_enc = (pos_id[...] * t_pos + pos_sin[...] * jnp.sin(t_pos)
-                 + pos_cos[...] * jnp.cos(t_pos))
-        t_dir = encode_t(dirs_ref[...], dir_P)
-        d_enc = (dir_id[...] * t_dir + dir_sin[...] * jnp.sin(t_dir)
-                 + dir_cos[...] * jnp.cos(t_dir))
-        x_enc_c = x_enc.astype(cdt)
-        d_enc_c = d_enc.astype(cdt)
-        S_pos = x_enc.shape[-1]
-
-        def h_i(i):
-            return h_refs[i][...]
-
-        assert (n_layers - 1) not in skips
-        h = h_i(n_layers - 1)
-
-        # head recompute (3 small matmuls; raw_sigma needed for softplus')
-        idx = 2 * n_layers
-        raw_sigma = mm(h, w(idx)) + w(idx + 1)
-        feats = (mm(h, w(idx + 2)) + w(idx + 3)).astype(cdt)
-        a_c = (mm(feats, w(idx + 4)[:H])
-               + mm(d_enc_c, w(idx + 4)[H:]) + w(idx + 5))
-        h_c = jnp.maximum(a_c, 0.0).astype(cdt)
-        rgb_raw = mm(h_c, w(idx + 6)) + w(idx + 7)
-        rgb = jax.nn.sigmoid(rgb_raw)
-
-        g_rgb = grgb_ref[...]
-        g_sigma = gsigma_ref[...]
-
-        d_rgb_raw = g_rgb * rgb * (1.0 - rgb)
-        dWr = mm_at_b(h_c, d_rgb_raw)
-        dbr = jnp.sum(d_rgb_raw, axis=0, keepdims=True)
-        d_hc = mm_a_bt(d_rgb_raw, w(idx + 6))
-        d_ac = jnp.where(a_c > 0.0, d_hc, 0.0)
-        dWd_top = mm_at_b(feats, d_ac)
-        dWd_bot = mm_at_b(d_enc_c, d_ac)
-        dbd = jnp.sum(d_ac, axis=0, keepdims=True)
-        d_feats = mm_a_bt(d_ac, w(idx + 4)[:H])
-        d_denc = mm_a_bt(d_ac, w(idx + 4)[H:])
-
-        if cfg.sigma_activation == "softplus":
-            d_raw_sigma = g_sigma * jax.nn.sigmoid(raw_sigma)
-        else:
-            d_raw_sigma = jnp.where(raw_sigma > 0.0, g_sigma, 0.0)
-        dWs = mm_at_b(h, d_raw_sigma)
-        dbs = jnp.sum(d_raw_sigma, axis=0, keepdims=True)
-        dWf = mm_at_b(h, d_feats)
-        dbf = jnp.sum(d_feats, axis=0, keepdims=True)
-        d_h = mm_a_bt(d_raw_sigma, w(idx)) + mm_a_bt(d_feats, w(idx + 2))
-
-        d_xenc = jnp.zeros_like(x_enc)
-        g = d_h
-        trunk_w_grads = [None] * n_layers
-        trunk_b_grads = [None] * n_layers
-        for i in range(n_layers - 1, -1, -1):
-            d_a = jnp.where(h_i(i).astype(jnp.float32) > 0.0, g, 0.0)
-            trunk_b_grads[i] = jnp.sum(d_a, axis=0, keepdims=True)
-            if i == 0:
-                trunk_w_grads[i] = mm_at_b(x_enc_c, d_a)
-                d_xenc = d_xenc + mm_a_bt(d_a, w(0))
-            elif (i - 1) in skips:
-                trunk_w_grads[i] = (
-                    mm_at_b(x_enc_c, d_a),
-                    mm_at_b(h_i(i - 1), d_a),
-                )
-                d_xenc = d_xenc + mm_a_bt(d_a, w(2 * i)[:S_pos])
-                g = mm_a_bt(d_a, w(2 * i)[S_pos:])
-            else:
-                trunk_w_grads[i] = mm_at_b(h_i(i - 1), d_a)
-                g = mm_a_bt(d_a, w(2 * i))
-
-        d_tpos = d_xenc * (pos_id[...] + pos_sin[...] * jnp.cos(t_pos)
-                           - pos_cos[...] * jnp.sin(t_pos))
-        dpts_ref[...] = jax.lax.dot_general(
-            d_tpos, pos_P[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        d_tdir = d_denc.astype(jnp.float32) * (
-            dir_id[...] + dir_sin[...] * jnp.cos(t_dir)
-            - dir_cos[...] * jnp.sin(t_dir))
-        ddirs_ref[...] = jax.lax.dot_general(
-            d_tdir, dir_P[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-
-        contribs = []
-        for i in range(n_layers):
-            contribs += [trunk_w_grads[i], trunk_b_grads[i]]
-        contribs += [dWs, dbs, dWf, dbf, (dWd_top, dWd_bot), dbd, dWr, dbr]
-        for r, c in zip(acc_refs, contribs):
-            if isinstance(c, tuple):
-                top, bot = c
-                r[:top.shape[0], :] += top
-                r[top.shape[0]:, :] += bot
-            else:
-                r[...] += c
-
-    return kernel
-
-
-def _fused_backward_stored(params, pts2d, dirs2d, grgb2d, gsig2d, h_list,
-                           cfg: ModelConfig, dtype_str: str,
-                           interpret: Optional[bool] = None):
-    """Store-mode backward driver; all inputs padded to the same N with
-    N % tile == 0 (tile = TILE_BWD if it divides TILE, else TILE)."""
+    With `h_list` (store mode), the trunk activations written by the
+    store-mode forward are fed as input tiles and the kernel skips the
+    trunk recompute; inputs are then padded to the forward's TILE, and the
+    backward tile must divide it (TILE_BWD when it does, else the safe
+    512). Without it, N % TILE_BWD == 0."""
     if interpret is None:
         interpret = _interpret_default()
     n = pts2d.shape[0]
-    tile = TILE_BWD if TILE % TILE_BWD == 0 else TILE
+    stored = h_list is not None
+    if stored:
+        tile = TILE_BWD if TILE % TILE_BWD == 0 else 512
+    else:
+        tile = TILE_BWD
     compute_dtype = jnp.dtype(dtype_str)
     weights, S_pos, S_dir = _prepare_weights(params, cfg, compute_dtype)
     pos_tabs = _encoding_tables(cfg.pos_freqs, S_pos)
@@ -642,11 +517,12 @@ def _fused_backward_stored(params, pts2d, dirs2d, grgb2d, gsig2d, h_list,
 
     tile_spec = lambda width: pl.BlockSpec(
         (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    h_specs = [tile_spec(H) for _ in (h_list or ())]
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[tile_spec(3), tile_spec(3), tile_spec(3), tile_spec(1)]
         + [_const_spec(t.shape) for t in tabs]
-        + [tile_spec(H) for _ in h_list]
+        + h_specs
         + [_const_spec(wt.shape) for wt in weights],
         out_specs=[tile_spec(3), tile_spec(3)]
         + [_const_spec(wt.shape) for wt in weights],
@@ -657,50 +533,11 @@ def _fused_backward_stored(params, pts2d, dirs2d, grgb2d, gsig2d, h_list,
     ] + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in weights]
 
     outs = pl.pallas_call(
-        _make_bwd_kernel_stored(cfg, compute_dtype, len(weights)),
+        _make_bwd_kernel(cfg, compute_dtype, len(weights), stored=stored),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(pts2d, dirs2d, grgb2d, gsig2d, *tabs, *h_list, *weights)
-    return outs[2:], outs[0], outs[1]
-
-
-def _fused_backward(params, pts2d, dirs2d, grgb2d, gsig2d,
-                    cfg: ModelConfig, dtype_str: str,
-                    interpret: Optional[bool] = None):
-    """(N,3)/(N,3)/(N,3)/(N,1) padded inputs -> (packed dW list, d_pts, d_dirs);
-    N % TILE_BWD == 0."""
-    if interpret is None:
-        interpret = _interpret_default()
-    n = pts2d.shape[0]
-    compute_dtype = jnp.dtype(dtype_str)
-    weights, S_pos, S_dir = _prepare_weights(params, cfg, compute_dtype)
-    pos_tabs = _encoding_tables(cfg.pos_freqs, S_pos)
-    dir_tabs = _encoding_tables(cfg.dir_freqs, S_dir)
-    tabs = [jnp.asarray(t) for t in (*pos_tabs, *dir_tabs)]
-    n_tiles = n // TILE_BWD
-
-    tile_spec = lambda width: pl.BlockSpec(
-        (TILE_BWD, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
-        in_specs=[tile_spec(3), tile_spec(3), tile_spec(3), tile_spec(1)]
-        + [_const_spec(t.shape) for t in tabs]
-        + [_const_spec(wt.shape) for wt in weights],
-        out_specs=[tile_spec(3), tile_spec(3)]
-        + [_const_spec(wt.shape) for wt in weights],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((n, 3), jnp.float32),
-        jax.ShapeDtypeStruct((n, 3), jnp.float32),
-    ] + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in weights]
-
-    outs = pl.pallas_call(
-        _make_bwd_kernel(cfg, compute_dtype, len(weights)),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(pts2d, dirs2d, grgb2d, gsig2d, *tabs, *weights)
+    )(pts2d, dirs2d, grgb2d, gsig2d, *tabs, *(h_list or ()), *weights)
     return outs[2:], outs[0], outs[1]
 
 
@@ -808,14 +645,10 @@ def _fused_bwd(cfg, dtype_str, residuals, cotangents):
                      ((0, pad), (0, 0)))
     gsig2d = jnp.pad(g_sigma.reshape(-1, 1).astype(jnp.float32),
                      ((0, pad), (0, 0)))
-    if h_list is not None:
-        dws, d_pts, d_dirs = _fused_backward_stored(
-            params, pts2d, dirs2d, grgb2d, gsig2d, h_list, cfg, dtype_str
-        )
-    else:
-        dws, d_pts, d_dirs = _fused_backward(
-            params, pts2d, dirs2d, grgb2d, gsig2d, cfg, dtype_str
-        )
+    dws, d_pts, d_dirs = _fused_backward(
+        params, pts2d, dirs2d, grgb2d, gsig2d, cfg, dtype_str,
+        h_list=h_list,
+    )
     S_pos = _round_up(3 * (1 + 2 * cfg.pos_freqs), 64)
     S_dir = _round_up(3 * (1 + 2 * cfg.dir_freqs), 32)
     d_params = _unpack_weight_grads(dws, cfg, S_pos, S_dir)

@@ -146,9 +146,11 @@ def _bank_is_sharded(cfg: NeRFConfig, mesh) -> bool:
 def _apply_fn_for(cfg: NeRFConfig):
     """Select the MLP apply fn (XLA or fused Pallas) + optional remat.
 
-    The fused kernel's custom VJP stores only (params, pts, viewdirs) as
-    residuals and recomputes activations per tile in VMEM, so wrapping it
-    in jax.checkpoint would only add a redundant forward pass — remat
+    The fused kernel's custom VJP stores (params, pts, viewdirs) as
+    residuals and recomputes activations per tile in VMEM (under
+    ROBUST_NERF_PALLAS_STORE=1 it additionally stores the 8 (N, H) trunk
+    activations — XLA-style store-and-read), so wrapping it in
+    jax.checkpoint would only add a redundant forward pass — remat
     applies to the XLA path alone."""
     from ..ops.pallas import pallas_enabled
 

@@ -109,7 +109,7 @@ def run_one(args, name, kind, rot, trans, out_root: Path) -> dict:
 
     cfg = build_config(args, name, kind, out_root)
     noise = NoiseConfig(rotation_noise_deg=rot, translation_noise_pct=trans,
-                        seed=42)
+                        seed=args.noise_seed)
     if not noise.has_noise:
         noise = None
     if kind == "poseopt" and noise is None:
@@ -191,6 +191,8 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="results/grid")
     p.add_argument("--only", nargs="*", default=None,
                    help="subset of experiment names")
+    p.add_argument("--noise_seed", type=int, default=42,
+                   help="pose-noise draw (default = the recorded grid's)")
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI-sized)")
     args = p.parse_args(argv)
