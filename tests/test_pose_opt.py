@@ -94,6 +94,41 @@ class TestRegularizationParity:
         # reference metric keys present alongside photometric ones
         assert "psnr_fine" in m or "fine" not in state.models
 
+    def test_reg_weight_changes_trajectory(self, tiny_scene, tiny_config):
+        """The reg term must actually flow into the pose gradients: with a
+        large weight and nonzero deltas, updates must differ from the
+        zero-weight run and be pulled toward zero deltas (= the noisy
+        initialization). Guards against the reg silently becoming inert in
+        the compiled chunk — the round-2 north-star record was produced by
+        exactly such an unnoticed zero-reg configuration."""
+        n_img = tiny_scene.poses.shape[0]
+
+        def run(w):
+            cfg = tiny_config
+            cfg.pose_opt = PoseOptConfig(
+                pose_opt_delay=0, rotation_reg_weight=w,
+                translation_reg_weight=w,
+            )
+            bank = build_pixel_bank(tiny_scene)
+            state = create_pose_opt_state(
+                jax.random.PRNGKey(0), cfg, jnp.asarray(tiny_scene.poses)
+            )
+            # distinct arrays: the chunk donates its input state, and the
+            # same buffer may not be donated twice
+            state = state._replace(pose_params={
+                "rotation_deltas": jnp.full((n_img, 3), 0.05, jnp.float32),
+                "translation_deltas": jnp.full((n_img, 3), 0.05, jnp.float32),
+            })
+            chunk = make_pose_opt_chunk(cfg, steps=5)
+            state, _ = chunk(state, bank, jax.random.PRNGKey(1))
+            return np.asarray(state.pose_params["rotation_deltas"])
+
+        free = run(0.0)
+        pulled = run(100.0)
+        assert not np.allclose(free, pulled), "reg weight had no effect"
+        # the heavy reg pulls deltas toward zero harder than the free run
+        assert np.abs(pulled).mean() < np.abs(free).mean()
+
     def test_reg_gated_before_delay(self, tiny_scene, tiny_config):
         """Pre-delay the reference never adds the reg term to the loss
         (optimize_poses gate, train_pose_opt.py:378)."""
