@@ -61,7 +61,14 @@ def exp_so3(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) log map, (..., 3, 3) -> (..., 3) axis-angle (|angle| <= pi)."""
+    """SO(3) log map, (..., 3, 3) -> (..., 3) axis-angle (|angle| <= pi).
+
+    sin(theta) vanishes at BOTH ends of the domain: near theta=0 the
+    off-diagonal formula is Taylor-stabilized; near theta=pi the
+    off-diagonals vanish but the axis survives in the diagonal of
+    R + I = 2 cos^2(theta/2) I + (1 - cos theta) aa^T ~ 2 aa^T, so the
+    axis is recovered from sqrt of the diagonal with signs from the
+    symmetric off-diagonal part (a_i a_j terms)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
@@ -75,10 +82,38 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     sin_theta = jnp.sin(theta)
+    small = sin_theta < _SMALL_ANGLE
+    # The off-diagonal signal has magnitude 2 sin(theta); with f32 matrix
+    # entries its noise floor is ~1e-6, and the TRACE's noise alone makes
+    # the computed sin(theta) ~1e-3 at a true pi rotation — so the
+    # diagonal-based branch must take over well before sin reaches the
+    # tiny-angle guard. cos < -0.999 (theta > 177.4 deg) keeps both
+    # branches well-conditioned at the handover.
+    near_pi = cos_theta < -0.999
     scale = jnp.where(
-        sin_theta < _SMALL_ANGLE, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_theta)
+        small, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.where(small, 1.0, sin_theta))
     )
-    return w * scale[..., None]
+    w_generic = w * scale[..., None]
+
+    # theta ~ pi branch: R_ii = cos + (1-cos) a_i^2 gives |a_i|; relative
+    # signs come from the symmetric part S_ij = (1-cos) a_i a_j (i != j).
+    # The overall sign is fixed by making the dominant component positive
+    # (exp(pi a) = exp(-pi a): the log is only defined up to that
+    # ambiguity at the cut).
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    one_minus_cos = jnp.maximum(1.0 - cos_theta[..., None], _SMALL_ANGLE)
+    axis_abs = jnp.sqrt(jnp.clip((diag - cos_theta[..., None]) / one_minus_cos,
+                                 0.0))
+    k = jnp.argmax(axis_abs, axis=-1)                        # dominant index
+    S = 0.5 * (R + jnp.swapaxes(R, -1, -2))
+    sym_k = jnp.take_along_axis(S, k[..., None, None], axis=-2)[..., 0, :]
+    signs = jnp.where(
+        jnp.arange(3) == k[..., None],
+        1.0,
+        jnp.sign(sym_k) + (sym_k == 0.0),   # sign with 0 -> +1
+    )
+    w_pi = signs * axis_abs * theta[..., None]
+    return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
 def apply_pose_deltas(

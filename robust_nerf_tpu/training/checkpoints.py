@@ -28,6 +28,7 @@ pointer at a half-written checkpoint.
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -83,10 +84,12 @@ def save_checkpoint(
 
     path = output_dir / f"checkpoint_{iteration:07d}.npz"
     np.savez(path, **payload)
-    latest = output_dir / "checkpoint_latest.npz"
-    np.savez(latest, **payload)
+    # serialize ONCE; latest/best are byte copies of the file just written
+    # (reference keeps them as independent full files — same on-disk
+    # contract, a third of the serialization cost)
+    shutil.copyfile(path, output_dir / "checkpoint_latest.npz")
     if is_best:
-        np.savez(output_dir / "checkpoint_best.npz", **payload)
+        shutil.copyfile(path, output_dir / "checkpoint_best.npz")
     return path
 
 

@@ -364,8 +364,18 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.models)
         models = optax.apply_updates(state.models, updates)
-        pose_updates, pose_opt_state = pose_optimizer.update(
+        pose_updates, new_pose_opt_state = pose_optimizer.update(
             pose_grads, state.pose_opt_state, state.pose_params
+        )
+        # Freeze the WHOLE pose optimizer pre-gate, including Adam's step
+        # count: the reference never steps optimizer_poses during the delay
+        # (train_pose_opt.py:407-409), so its bias correction is fresh when
+        # pose optimization switches on. Stepping with zero grads would
+        # advance `count` to ~delay and make the first real updates
+        # ~1/sqrt(1-beta2^t) ~ 2.5x larger than the reference's.
+        pose_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(gate, new, old),
+            new_pose_opt_state, state.pose_opt_state,
         )
         pose_params = optax.apply_updates(state.pose_params, pose_updates)
 

@@ -96,7 +96,8 @@ def train(
         exp_name = cfg.train.experiment_name
     output_dir = Path(cfg.train.output_dir) / exp_name
 
-    logger = ExperimentLogger(output_dir) if is_primary_host() else None
+    logger = (ExperimentLogger(output_dir, resume=cfg.train.resume is not None)
+              if is_primary_host() else None)
     config_dict = config_to_dict(cfg)
     _save_ckpt = partial(save_checkpoint, backend=cfg.train.ckpt_backend)
     if logger is not None:
@@ -210,19 +211,23 @@ def train(
                 f"psnr {metrics['psnr'][-1]:.2f} {rays_per_sec:,.0f} rays/s"
             )
 
-        if i % cfg.train.val_every == 0 and i < total and logger is not None:
+        if i % cfg.train.val_every == 0 and i < total:
+            # EVERY process enters the jitted render: the val computation
+            # spans the global mesh, so on multihost runs all processes
+            # must participate. Logging/saving stays primary-only.
             val = evaluate(state.models, val_scene, logger, i, cfg,
                            lpips_metric=lpips_metric)
-            logger.log_validation(val)
-            print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
-            is_best = val.psnr > best_psnr
-            best_psnr = max(best_psnr, val.psnr)
-            _save_ckpt(
-                output_dir, i, state, config_dict,
-                config_to_dict(noise_config) if noise_config else None,
-                metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
-                is_best=is_best,
-            )
+            if logger is not None:
+                logger.log_validation(val)
+                print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
+                is_best = val.psnr > best_psnr
+                best_psnr = max(best_psnr, val.psnr)
+                _save_ckpt(
+                    output_dir, i, state, config_dict,
+                    config_to_dict(noise_config) if noise_config else None,
+                    metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
+                    is_best=is_best,
+                )
         elif i % cfg.train.save_every == 0 and i < total and logger is not None:
             _save_ckpt(
                 output_dir, i, state, config_dict,
@@ -231,11 +236,12 @@ def train(
 
     # --- Final evaluation over the full val split -----------------------
     summary: Dict = {}
+    # all processes render (multihost: the jit spans the global mesh)
+    val = evaluate(
+        state.models, val_scene, logger, total, cfg,
+        num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
+    )
     if logger is not None:
-        val = evaluate(
-            state.models, val_scene, logger, total, cfg,
-            num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
-        )
         logger.log_validation(val)
         is_best = val.psnr > best_psnr
         _save_ckpt(

@@ -98,7 +98,8 @@ def train_with_pose_optimization(
     else:
         exp_name = cfg.train.experiment_name
     output_dir = Path(cfg.train.output_dir) / exp_name
-    logger = ExperimentLogger(output_dir) if is_primary_host() else None
+    logger = (ExperimentLogger(output_dir, resume=cfg.train.resume is not None)
+              if is_primary_host() else None)
     config_dict = config_to_dict(cfg)
     _save_ckpt = partial(save_checkpoint, backend=cfg.train.ckpt_backend)
     if logger is not None:
@@ -144,6 +145,13 @@ def train_with_pose_optimization(
         leaves, meta, _ = load_checkpoint_raw(find_checkpoint(cfg.train.resume))
         state = restore_into(state, leaves)
         start_iter = int(meta["iteration"])
+        # The run's TRUE initialization is the restored one: with
+        # noise_seed=None the host-side draw above is a fresh random set
+        # unrelated to the resumed run, and it must not leak into
+        # final_poses.npz / checkpoints / error printouts.
+        initial_poses = np.asarray(
+            jax.device_get(state.initial_poses), dtype=np.float32
+        )
         print(f"Resumed from iteration {start_iter}")
     state = replicate(state, mesh)
 
@@ -211,51 +219,67 @@ def train_with_pose_optimization(
                 f"pose_opt={'on' if active else 'off'}"
             )
 
-        if i % cfg.train.val_every == 0 and i < total and logger is not None:
+        if i % cfg.train.val_every == 0 and i < total:
+            # EVERY process enters the jitted pose/render computations —
+            # they span the global mesh on multihost runs. Logging and
+            # checkpoint writes stay primary-only.
             cur = current_poses(state)
             errs = _pose_error_stats(cur, gt_poses_j)
-            logger.csv.log_row(
-                "pose_errors", {"iteration": i, **errs}
-            )
-            print(
-                f"  pose err @ {i}: rot {errs['mean_rotation_error_deg']:.4f} deg, "
-                f"trans {errs['mean_translation_error']:.5f}"
-            )
             val = evaluate(
                 state.models, val_scene, logger, i, cfg,
                 lpips_metric=lpips_metric,
             )
-            logger.log_validation(val)
-            print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
-            is_best = val.psnr > best_psnr
-            best_psnr = max(best_psnr, val.psnr)
+            if logger is not None:
+                logger.csv.log_row(
+                    "pose_errors", {"iteration": i, **errs}
+                )
+                print(
+                    f"  pose err @ {i}: rot {errs['mean_rotation_error_deg']:.4f} deg, "
+                    f"trans {errs['mean_translation_error']:.5f}"
+                )
+                logger.log_validation(val)
+                print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
+                is_best = val.psnr > best_psnr
+                best_psnr = max(best_psnr, val.psnr)
+                _save_ckpt(
+                    output_dir, i, state, config_dict,
+                    config_to_dict(noise_config) if noise_config else None,
+                    metrics={"val_psnr": val.psnr, "val_ssim": val.ssim, **errs},
+                    is_best=is_best,
+                    extra_arrays={
+                        "initial_poses": np.asarray(initial_poses),
+                        "current_poses": np.asarray(jax.device_get(cur)),
+                        "ground_truth_poses": gt_poses,
+                    },
+                )
+        elif i % cfg.train.save_every == 0 and i < total and logger is not None:
+            # extra_arrays on EVERY pose-opt checkpoint (not just val
+            # boundaries): inference detects pose-opt runs by the
+            # initial_poses key, so a save_every-only checkpoint without
+            # it would restore against the wrong state template
             _save_ckpt(
                 output_dir, i, state, config_dict,
                 config_to_dict(noise_config) if noise_config else None,
-                metrics={"val_psnr": val.psnr, "val_ssim": val.ssim, **errs},
-                is_best=is_best,
                 extra_arrays={
                     "initial_poses": np.asarray(initial_poses),
-                    "current_poses": np.asarray(jax.device_get(cur)),
+                    "current_poses": np.asarray(
+                        jax.device_get(current_poses(state))
+                    ),
                     "ground_truth_poses": gt_poses,
                 },
-            )
-        elif i % cfg.train.save_every == 0 and i < total and logger is not None:
-            _save_ckpt(
-                output_dir, i, state, config_dict,
-                config_to_dict(noise_config) if noise_config else None,
             )
 
     # --- Final: full eval + pose bundle ---------------------------------
     summary: Dict = {}
+    # all processes compute (multihost: the jits span the global mesh)
+    cur = np.asarray(jax.device_get(current_poses(state)))
+    errs = _pose_error_stats(cur, gt_poses_j)
+    val = evaluate(
+        state.models, val_scene, logger, total, cfg,
+        num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
+    )
     if logger is not None:
-        cur = np.asarray(jax.device_get(current_poses(state)))
-        errs = _pose_error_stats(cur, gt_poses_j)
         logger.csv.log_row("pose_errors", {"iteration": total, **errs})
-        val = evaluate(
-            state.models, val_scene, logger, total, cfg,
-            num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
-        )
         logger.log_validation(val)
         _save_ckpt(
             output_dir, total, state, config_dict,

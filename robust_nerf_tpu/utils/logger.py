@@ -102,19 +102,27 @@ class CSVLogger:
     """Buffered CSV sink (reference: noisy_src/logger.py:111-156) — header
     inferred from the first row's keys, flushed every `flush_every` rows."""
 
-    def __init__(self, log_dir: Path, flush_every: int = 200):
+    def __init__(self, log_dir: Path, flush_every: int = 200,
+                 append: bool = False):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._flush_every = flush_every
+        self._append = append
         self._files: Dict[str, Any] = {}
         self._writers: Dict[str, Any] = {}
         self._pending: Dict[str, int] = {}
 
     def _writer_for(self, name: str, fieldnames: List[str]):
         if name not in self._writers:
-            f = open(self.log_dir / f"{name}.csv", "w", newline="")
+            path = self.log_dir / f"{name}.csv"
+            # append mode (--resume into the same run dir, e.g. the
+            # wedge-watchdog relaunch): keep pre-resume rows instead of
+            # truncating; the header is already on disk
+            has_rows = self._append and path.exists() and path.stat().st_size > 0
+            f = open(path, "a" if has_rows else "w", newline="")
             w = csv.DictWriter(f, fieldnames=fieldnames)
-            w.writeheader()
+            if not has_rows:
+                w.writeheader()
             self._files[name] = f
             self._writers[name] = w
             self._pending[name] = 0
@@ -168,14 +176,15 @@ def save_png(img: np.ndarray, path: Path):
 class ExperimentLogger:
     """All-sink experiment logger (reference: noisy_src/logger.py:159-368)."""
 
-    def __init__(self, output_dir: Path, use_tensorboard: bool = True):
+    def __init__(self, output_dir: Path, use_tensorboard: bool = True,
+                 resume: bool = False):
         self.output_dir = Path(output_dir)
         self.log_dir = self.output_dir / "logs"
         self.image_dir = self.output_dir / "images"
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.image_dir.mkdir(parents=True, exist_ok=True)
 
-        self.csv = CSVLogger(self.log_dir)
+        self.csv = CSVLogger(self.log_dir, append=resume)
         self.tb = TensorBoardLogger(self.log_dir) if use_tensorboard else None
         self.start_time = time.time()
         self._summary: Dict[str, Any] = {

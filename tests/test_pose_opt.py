@@ -31,6 +31,7 @@ class TestGating:
             jax.random.PRNGKey(0), cfg, jnp.asarray(tiny_scene.poses)
         )
         chunk = make_pose_opt_chunk(cfg, steps=10)
+        opt_state_before = jax.tree_util.tree_map(np.asarray, state.pose_opt_state)
         state, m = chunk(state, bank, jax.random.PRNGKey(1))
         np.testing.assert_allclose(
             np.asarray(state.pose_params["rotation_deltas"]), 0.0, atol=1e-9
@@ -39,6 +40,14 @@ class TestGating:
             np.asarray(state.pose_params["translation_deltas"]), 0.0, atol=1e-9
         )
         assert np.all(np.asarray(m["pose_opt_active"]) == 0.0)
+        # the WHOLE pose optimizer state (incl. Adam's count) must be
+        # frozen pre-gate — the reference never steps optimizer_poses
+        # during the delay, keeping its bias correction fresh
+        for a, b in zip(
+            jax.tree_util.tree_leaves(opt_state_before),
+            jax.tree_util.tree_leaves(state.pose_opt_state),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_deltas_move_after_delay(self, tiny_scene, tiny_config):
         cfg = tiny_config

@@ -89,6 +89,25 @@ class TestLogSO3:
         w_rt = np.asarray(log_so3(exp_so3(jnp.asarray(w.astype(np.float32)))))
         np.testing.assert_allclose(w_rt, w, atol=1e-4)
 
+    def test_near_pi_rotations(self):
+        """sin(theta) also vanishes at theta ~ pi, where the off-diagonal
+        formula returns ~0; the diagonal-based branch must recover the
+        axis-angle up to the exp(pi a) = exp(-pi a) sign ambiguity."""
+        rng = np.random.default_rng(3)
+        axes = rng.standard_normal((12, 3)).astype(np.float32)
+        axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+        for angle in (np.pi, np.pi - 1e-4, np.pi - 1e-6, -np.pi + 1e-5):
+            w = (axes * np.float32(angle)).astype(np.float32)
+            R = exp_so3(jnp.asarray(w))
+            w_rt = np.asarray(log_so3(R))
+            # compare the ROTATIONS (log is sign-ambiguous at the cut)
+            R_rt = np.asarray(exp_so3(jnp.asarray(w_rt)))
+            np.testing.assert_allclose(R_rt, np.asarray(R), atol=5e-3)
+            # magnitude must be ~|angle|, not ~0 (the old failure mode)
+            np.testing.assert_allclose(
+                np.linalg.norm(w_rt, axis=-1), abs(angle), atol=5e-3
+            )
+
 
 class TestSkew:
     def test_antisymmetric_and_cross(self):
