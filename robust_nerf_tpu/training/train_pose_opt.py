@@ -168,8 +168,14 @@ def train_with_pose_optimization(
     best_psnr = float("-inf")
     gt_poses_j = np.asarray(gt_poses)
     i = start_iter
+    profile_dir = getattr(cfg.train, "profile_dir", None)
+    profiling = False
 
     while i < total:
+        if profile_dir and not profiling and i >= start_iter + cfg.tpu.steps_per_scan:
+            # capture one steady-state chunk (same contract as train.py)
+            jax.profiler.start_trace(str(profile_dir))
+            profiling = True
         n = _chunk_schedule(i, total, cfg)
         if n not in chunk_fns:
             chunk_fns[n] = make_pose_opt_chunk(cfg, mesh, steps=n)
@@ -189,6 +195,12 @@ def train_with_pose_optimization(
         dt = time.time() - t0
         time_per_iter = dt / n
         rays_per_sec = cfg.data.batch_size / time_per_iter
+
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_dir = None
+            print(f"profiler trace written (one {n}-step chunk)")
 
         if logger is not None:
             for j in range(n):
@@ -345,6 +357,8 @@ def main(argv=None):
     config = build_config_from_args(args)
     config.train.num_iterations = args.num_iters
     config.train.val_every = args.val_every
+    if args.profile:
+        config.train.profile_dir = Path(args.output_dir) / "profile"
     config.pose_opt = PoseOptConfig(
         enabled=True,
         learn_rotation=not args.no_learn_rotation,
