@@ -97,9 +97,6 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 
     # theta ~ pi branch: R_ii = cos + (1-cos) a_i^2 gives |a_i|; relative
     # signs come from the symmetric part S_ij = (1-cos) a_i a_j (i != j).
-    # The overall sign is fixed by making the dominant component positive
-    # (exp(pi a) = exp(-pi a): the log is only defined up to that
-    # ambiguity at the cut).
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     one_minus_cos = jnp.maximum(1.0 - cos_theta[..., None], _SMALL_ANGLE)
     axis_abs = jnp.sqrt(jnp.clip((diag - cos_theta[..., None]) / one_minus_cos,
@@ -112,7 +109,16 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         1.0,
         jnp.sign(sym_k) + (sym_k == 0.0),   # sign with 0 -> +1
     )
-    w_pi = signs * axis_abs * theta[..., None]
+    axis_signed = signs * axis_abs
+    # The diagonal/symmetric parts only determine the axis up to +-; the
+    # OVERALL sign still lives in the antisymmetric part w = 2 sin(theta) a,
+    # which is nonzero everywhere in this branch except theta = pi exactly
+    # (|w| ~ 0.09 at the 177.4 deg handover). Project w onto the candidate
+    # axis; only when that signal is below the f32 noise floor (true pi,
+    # where exp(pi a) = exp(-pi a) anyway) fall back to +1.
+    w_dot = jnp.sum(w * axis_signed, axis=-1)
+    overall = jnp.where(jnp.abs(w_dot) > 1e-5, jnp.sign(w_dot), 1.0)
+    w_pi = overall[..., None] * axis_signed * theta[..., None]
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 

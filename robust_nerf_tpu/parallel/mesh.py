@@ -65,5 +65,23 @@ def is_primary_host() -> bool:
     return jax.process_index() == 0
 
 
+def sync_string(s: str, max_len: int = 256) -> str:
+    """Broadcast a string from process 0 to all processes.
+
+    Experiment names embed a wall-clock timestamp
+    (training.train.generate_experiment_name) which can differ across
+    hosts; multihost-coordinated checkpoint writes (orbax) need every
+    process to agree on the output path."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    raw = s.encode("utf-8")[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode("utf-8")
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m

@@ -41,6 +41,14 @@ def _flatten(tree) -> Tuple[list, Any]:
     return leaves, treedef
 
 
+def ckpt_needs_all_processes(backend: str) -> bool:
+    """orbax Checkpointer.save runs multihost sync barriers when
+    process_count > 1, so for those backends EVERY process must call
+    save_checkpoint (a primary-only call deadlocks the primary at the
+    barrier). npz is a pure-local write and stays primary-only."""
+    return backend in ("orbax", "orbax_async") and jax.process_count() > 1
+
+
 def save_checkpoint(
     output_dir: Path,
     iteration: int,
@@ -128,6 +136,11 @@ def _async_checkpointer():
 
 def _finalize_step(path: Path, meta: Dict[str, Any], is_best: bool,
                    output_dir: Path):
+    # pointer/meta publication is a plain filesystem write: one writer
+    # (multihost: every process calls save for the barriers, but only the
+    # primary owns the meta.json + latest/best pointers)
+    if jax.process_index() != 0:
+        return
     with open(path / "meta.json", "w") as f:
         json.dump(meta, f)
     _update_pointer(Path(output_dir) / "checkpoint_latest.orbax", path)

@@ -15,6 +15,7 @@ per-group gradient clipping (train_pose_opt.py:290-409).
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
 
@@ -154,12 +155,27 @@ def _apply_fn_for(cfg: NeRFConfig):
     applies to the XLA path alone."""
     from ..ops.pallas import pallas_enabled
 
+    f8 = bool(getattr(cfg.tpu, "f8_residuals", False))
     if pallas_enabled(cfg.tpu, context="train"):
+        if f8:
+            warnings.warn(
+                "TPUConfig.f8_residuals is ignored when the fused Pallas "
+                "path is active (the kernel manages its own residuals)",
+                stacklevel=2,
+            )
         from ..ops.pallas.fused_mlp import nerf_apply_fused
 
         return nerf_apply_fused
     fn = nerf_apply
-    if getattr(cfg.tpu, "f8_residuals", False):
+    if f8:
+        if cfg.tpu.remat:
+            warnings.warn(
+                "TPUConfig.f8_residuals has no effect under tpu.remat: "
+                "jax.checkpoint discards the stored residuals and "
+                "recomputes the forward (you still pay the quantized-dW "
+                "cast cost) — disable one of the two",
+                stacklevel=2,
+            )
         fn = partial(nerf_apply, f8_residuals=True)
     if cfg.tpu.remat:
         fn = jax.checkpoint(fn, static_argnums=(3, 4))

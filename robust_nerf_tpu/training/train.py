@@ -35,9 +35,10 @@ from ..data.banks import build_ray_bank, shard_bank
 from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric
 from ..models.nerf import count_params
-from ..parallel.mesh import create_mesh, is_primary_host, replicate
+from ..parallel.mesh import create_mesh, is_primary_host, replicate, sync_string
 from ..utils.logger import ExperimentLogger, TrainingMetrics
 from .checkpoints import (
+    ckpt_needs_all_processes,
     finalize_checkpoints,
     find_checkpoint,
     load_checkpoint_raw,
@@ -94,12 +95,16 @@ def train(
         exp_name = generate_experiment_name(cfg.data.scene_name, noise_config)
     else:
         exp_name = cfg.train.experiment_name
+    exp_name = sync_string(exp_name)   # multihost: timestamps can diverge
     output_dir = Path(cfg.train.output_dir) / exp_name
 
     logger = (ExperimentLogger(output_dir, resume=cfg.train.resume is not None)
               if is_primary_host() else None)
     config_dict = config_to_dict(cfg)
     _save_ckpt = partial(save_checkpoint, backend=cfg.train.ckpt_backend)
+    # orbax backends run multihost barriers inside save: every process must
+    # make the save call (logging/printing stays primary-only)
+    save_on_all = ckpt_needs_all_processes(cfg.train.ckpt_backend)
     if logger is not None:
         logger.log_config(config_dict)
         with open(output_dir / "experiment_config.json", "w") as f:
@@ -217,18 +222,23 @@ def train(
             # must participate. Logging/saving stays primary-only.
             val = evaluate(state.models, val_scene, logger, i, cfg,
                            lpips_metric=lpips_metric)
+            # best tracking on EVERY process: val is computed identically
+            # everywhere, and multihost orbax saves need all processes to
+            # agree on is_best (it selects the pointer update)
+            is_best = val.psnr > best_psnr
+            best_psnr = max(best_psnr, val.psnr)
             if logger is not None:
                 logger.log_validation(val)
                 print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
-                is_best = val.psnr > best_psnr
-                best_psnr = max(best_psnr, val.psnr)
+            if logger is not None or save_on_all:
                 _save_ckpt(
                     output_dir, i, state, config_dict,
                     config_to_dict(noise_config) if noise_config else None,
                     metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
                     is_best=is_best,
                 )
-        elif i % cfg.train.save_every == 0 and i < total and logger is not None:
+        elif (i % cfg.train.save_every == 0 and i < total
+              and (logger is not None or save_on_all)):
             _save_ckpt(
                 output_dir, i, state, config_dict,
                 config_to_dict(noise_config) if noise_config else None,
@@ -241,15 +251,16 @@ def train(
         state.models, val_scene, logger, total, cfg,
         num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
     )
-    if logger is not None:
-        logger.log_validation(val)
-        is_best = val.psnr > best_psnr
+    is_best = val.psnr > best_psnr
+    if logger is not None or save_on_all:
         _save_ckpt(
             output_dir, total, state, config_dict,
             config_to_dict(noise_config) if noise_config else None,
             metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
             is_best=is_best,
         )
+    if logger is not None:
+        logger.log_validation(val)
         logger.save_summary()
         logger.close()
         with open(output_dir / "summary.json") as f:

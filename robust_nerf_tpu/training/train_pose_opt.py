@@ -39,9 +39,10 @@ from ..data.banks import build_pixel_bank, shard_bank
 from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric
 from ..models.nerf import count_params
-from ..parallel.mesh import create_mesh, is_primary_host, replicate
+from ..parallel.mesh import create_mesh, is_primary_host, replicate, sync_string
 from ..utils.logger import ExperimentLogger, TrainingMetrics
 from .checkpoints import (
+    ckpt_needs_all_processes,
     finalize_checkpoints,
     find_checkpoint,
     load_checkpoint_raw,
@@ -97,11 +98,15 @@ def train_with_pose_optimization(
         )
     else:
         exp_name = cfg.train.experiment_name
+    exp_name = sync_string(exp_name)   # multihost: timestamps can diverge
     output_dir = Path(cfg.train.output_dir) / exp_name
     logger = (ExperimentLogger(output_dir, resume=cfg.train.resume is not None)
               if is_primary_host() else None)
     config_dict = config_to_dict(cfg)
     _save_ckpt = partial(save_checkpoint, backend=cfg.train.ckpt_backend)
+    # orbax backends run multihost barriers inside save: every process must
+    # make the save call (logging/printing stays primary-only)
+    save_on_all = ckpt_needs_all_processes(cfg.train.ckpt_backend)
     if logger is not None:
         logger.log_config(config_dict)
         with open(output_dir / "experiment_config.json", "w") as f:
@@ -241,6 +246,10 @@ def train_with_pose_optimization(
                 state.models, val_scene, logger, i, cfg,
                 lpips_metric=lpips_metric,
             )
+            # best tracking on EVERY process (multihost orbax saves need
+            # all processes to agree on is_best)
+            is_best = val.psnr > best_psnr
+            best_psnr = max(best_psnr, val.psnr)
             if logger is not None:
                 logger.csv.log_row(
                     "pose_errors", {"iteration": i, **errs}
@@ -251,8 +260,7 @@ def train_with_pose_optimization(
                 )
                 logger.log_validation(val)
                 print(f"  val @ {i}: PSNR {val.psnr:.2f} SSIM {val.ssim:.4f}")
-                is_best = val.psnr > best_psnr
-                best_psnr = max(best_psnr, val.psnr)
+            if logger is not None or save_on_all:
                 _save_ckpt(
                     output_dir, i, state, config_dict,
                     config_to_dict(noise_config) if noise_config else None,
@@ -264,7 +272,8 @@ def train_with_pose_optimization(
                         "ground_truth_poses": gt_poses,
                     },
                 )
-        elif i % cfg.train.save_every == 0 and i < total and logger is not None:
+        elif (i % cfg.train.save_every == 0 and i < total
+              and (logger is not None or save_on_all)):
             # extra_arrays on EVERY pose-opt checkpoint (not just val
             # boundaries): inference detects pose-opt runs by the
             # initial_poses key, so a save_every-only checkpoint without
@@ -290,9 +299,7 @@ def train_with_pose_optimization(
         state.models, val_scene, logger, total, cfg,
         num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
     )
-    if logger is not None:
-        logger.csv.log_row("pose_errors", {"iteration": total, **errs})
-        logger.log_validation(val)
+    if logger is not None or save_on_all:
         _save_ckpt(
             output_dir, total, state, config_dict,
             config_to_dict(noise_config) if noise_config else None,
@@ -304,6 +311,9 @@ def train_with_pose_optimization(
                 "ground_truth_poses": gt_poses,
             },
         )
+    if logger is not None:
+        logger.csv.log_row("pose_errors", {"iteration": total, **errs})
+        logger.log_validation(val)
         # final_poses bundle (reference: train_pose_opt.py:1036-1043)
         np.savez(
             output_dir / "final_poses.npz",

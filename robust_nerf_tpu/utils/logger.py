@@ -117,8 +117,22 @@ class CSVLogger:
             path = self.log_dir / f"{name}.csv"
             # append mode (--resume into the same run dir, e.g. the
             # wedge-watchdog relaunch): keep pre-resume rows instead of
-            # truncating; the header is already on disk
+            # truncating — but only when the on-disk header matches the
+            # current metric keys; a config/code change between runs
+            # would otherwise append misaligned rows. On mismatch the old
+            # file is rotated aside, not silently overwritten.
             has_rows = self._append and path.exists() and path.stat().st_size > 0
+            if has_rows:
+                with open(path, newline="") as rf:
+                    on_disk = next(csv.reader(rf), None)
+                if on_disk != fieldnames:
+                    rotated = path.with_suffix(".csv.old")
+                    path.replace(rotated)
+                    print(
+                        f"CSVLogger: {path.name} header changed on resume; "
+                        f"rotated old file to {rotated.name}"
+                    )
+                    has_rows = False
             f = open(path, "a" if has_rows else "w", newline="")
             w = csv.DictWriter(f, fieldnames=fieldnames)
             if not has_rows:

@@ -47,6 +47,33 @@ class TestCSVLogger:
         with open(tmp_path / "train_metrics.csv") as f:
             assert len(list(csv.DictReader(f))) == 123
 
+    def test_append_resume_same_header(self, tmp_path):
+        log = CSVLogger(tmp_path, flush_every=1)
+        log.log_row("m", {"iteration": 0, "loss": 0.5})
+        log.close()
+        log2 = CSVLogger(tmp_path, flush_every=1, append=True)
+        log2.log_row("m", {"iteration": 1, "loss": 0.4})
+        log2.close()
+        with open(tmp_path / "m.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["iteration"] for r in rows] == ["0", "1"]
+
+    def test_append_resume_header_mismatch_rotates(self, tmp_path):
+        """Resume with DIFFERENT metric keys (config/code change) must not
+        append misaligned rows under the old header: the old file is
+        rotated aside and a fresh one started."""
+        log = CSVLogger(tmp_path, flush_every=1)
+        log.log_row("m", {"iteration": 0, "loss": 0.5})
+        log.close()
+        log2 = CSVLogger(tmp_path, flush_every=1, append=True)
+        log2.log_row("m", {"iteration": 1, "loss": 0.4, "psnr": 22.0})
+        log2.close()
+        with open(tmp_path / "m.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert list(rows[0].keys()) == ["iteration", "loss", "psnr"]
+        assert len(rows) == 1
+        assert (tmp_path / "m.csv.old").exists()
+
 
 class TestExperimentLogger:
     def test_layout(self, tmp_path):

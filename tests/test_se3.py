@@ -108,6 +108,36 @@ class TestLogSO3:
                 np.linalg.norm(w_rt, axis=-1), abs(angle), atol=5e-3
             )
 
+    def test_near_pi_overall_sign(self):
+        """theta in (177.4 deg, pi) is inside the diagonal-based branch but
+        NOT sign-ambiguous: the antisymmetric part (magnitude 2 sin theta)
+        still fixes the overall sign. A branch that forces the dominant
+        axis component positive returns -w there, i.e. exp(log(R)) = R^T
+        (~4-5 deg round-trip rotation error). Probe axes whose dominant
+        component is NEGATIVE, well away from the 1e-4 neighborhood of pi."""
+        axes = np.array(
+            [
+                [-0.9, 0.3, 0.2],
+                [0.1, -0.95, 0.25],
+                [0.2, 0.3, -0.9],
+                [-0.7, -0.5, 0.4],
+                [0.3, -0.6, -0.7],
+            ],
+            dtype=np.float32,
+        )
+        axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+        for angle_deg in (178.0, -178.0, 179.0, -179.5, 177.6):
+            angle = np.float32(np.deg2rad(angle_deg))
+            w = (axes * angle).astype(np.float32)
+            R = exp_so3(jnp.asarray(w))
+            w_rt = np.asarray(log_so3(R))
+            # exact round-trip: log is single-valued away from theta = pi,
+            # so w itself (sign included) must come back.
+            np.testing.assert_allclose(w_rt, w, atol=2e-3)
+            # and the rotation itself must round-trip tightly (R, not R^T)
+            R_rt = np.asarray(exp_so3(jnp.asarray(w_rt)))
+            np.testing.assert_allclose(R_rt, np.asarray(R), atol=1e-4)
+
 
 class TestSkew:
     def test_antisymmetric_and_cross(self):
