@@ -6,11 +6,16 @@ configuration (lego-equivalent geometry: 400x400 half-res frames, 64 coarse
 analytic scene since the Blender set is not on disk — ray geometry, sample
 counts and model sizes are identical, so throughput is comparable).
 
-Prints ONE JSON line:
+Prints the headline JSON line LAST (the driver records the final line):
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N / 9600}
+   "vs_baseline": N / 9600, "batch_size": 4096}
 vs_baseline compares against the reference's measured ~9.6k rays/s
-(BASELINE.md: outputs/lego_clean_*/logs/train_metrics.csv median).
+(BASELINE.md: outputs/lego_clean_*/logs/train_metrics.csv median). The
+headline batch is 4096 (TPU-shaped feed; the chip saturates there) — NOT
+the reference's 1024 — so an iso-batch line is printed first:
+  {"metric": "train_rays_per_sec_iso_batch1024", ...}
+measured at the reference's own batch 1024 (noisy_src/config.py:46-56)
+for an apples-to-apples vs_baseline.
 
 BENCH_MODE=pose_opt instead measures the joint pose-optimization step and
 prints {"metric": "pose_opt_rays_per_sec", ..., "vs_baseline": N / 4520}
@@ -29,7 +34,9 @@ REFERENCE_RAYS_PER_SEC = 9600.0   # BASELINE.md standard-path median
 REFERENCE_POSE_OPT_RAYS_PER_SEC = 4520.0   # BASELINE.md pose-opt-path median
 
 
-def main():
+def measure(batch: int, scan: int, scene, on_accel: bool):
+    """Compile + run the configured step at `batch`; return (metric, rate,
+    ref) for one JSON line."""
     from robust_nerf_tpu.config import (
         DataConfig,
         ModelConfig,
@@ -39,18 +46,8 @@ def main():
         TrainConfig,
     )
     from robust_nerf_tpu.data.banks import build_ray_bank
-    from robust_nerf_tpu.data.synthetic import make_synthetic_scene
     from robust_nerf_tpu.training.steps import create_train_state, make_train_chunk
 
-    platform = jax.devices()[0].platform
-    on_accel = platform != "cpu"
-
-    # TPU-shaped batch: the reference trains 1024 rays/step; one TPU chip is
-    # fed far better at 4096+ (same optimizer semantics, fewer dispatches
-    # per epoch). CPU fallback keeps small shapes so the bench still runs.
-    # BENCH_BATCH/BENCH_DTYPE/BENCH_REMAT env vars override for tuning runs.
-    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_accel else 512))
-    scan = int(os.environ.get("BENCH_SCAN", 50 if on_accel else 10))
     cfg = NeRFConfig(
         model=ModelConfig(),
         render=RenderConfig(num_samples=64, num_samples_fine=128),
@@ -71,10 +68,6 @@ def main():
             f8_residuals=os.environ.get("BENCH_F8", "0") == "1",
         ),
     )
-
-    # 400x400-equivalent ray bank (20 frames is plenty for a throughput bench)
-    res = 400 if on_accel else 64
-    scene = make_synthetic_scene(num_images=20, resolution=res, num_samples=128)
 
     # BENCH_MODE=pose_opt measures the JOINT pose-optimization step (full
     # differentiation through ray generation + SE(3) deltas) — comparable
@@ -118,8 +111,46 @@ def main():
         float(np.asarray(m["loss"]).sum())
         dt = time.perf_counter() - t0
         rates.append(scan * batch / dt)
-    value = float(np.median(rates))
+    return metric, float(np.median(rates)), ref
 
+
+def main():
+    from robust_nerf_tpu.data.synthetic import make_synthetic_scene
+
+    platform = jax.devices()[0].platform
+    on_accel = platform != "cpu"
+
+    # TPU-shaped batch: the reference trains 1024 rays/step; one TPU chip is
+    # fed far better at 4096+ (same optimizer semantics, fewer dispatches
+    # per epoch). CPU fallback keeps small shapes so the bench still runs.
+    # BENCH_BATCH/BENCH_DTYPE/BENCH_REMAT env vars override for tuning runs.
+    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_accel else 512))
+    scan = int(os.environ.get("BENCH_SCAN", 50 if on_accel else 10))
+
+    # 400x400-equivalent ray bank (20 frames is plenty for a throughput bench)
+    res = 400 if on_accel else 64
+    scene = make_synthetic_scene(num_images=20, resolution=res, num_samples=128)
+
+    # Iso-batch line first (reference trains batch 1024 — noisy_src/
+    # config.py:46-56 — so this vs_baseline is apples-to-apples). Skipped
+    # when BENCH_BATCH is set explicitly (tuning runs) or on CPU fallback.
+    if "BENCH_BATCH" not in os.environ and on_accel:
+        metric, value, ref = measure(1024, scan, scene, on_accel)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{metric}_iso_batch1024",
+                    "value": round(value, 1),
+                    "unit": "rays/s",
+                    "vs_baseline": round(value / ref, 3),
+                    "batch_size": 1024,
+                }
+            ),
+            flush=True,
+        )
+
+    # headline line LAST (driver records the final line)
+    metric, value, ref = measure(batch, scan, scene, on_accel)
     print(
         json.dumps(
             {
@@ -127,6 +158,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(value / ref, 3),
+                "batch_size": batch,
             }
         )
     )
