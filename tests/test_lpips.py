@@ -51,10 +51,12 @@ def _torch_lpips(weights, a, b):
     shift = torch.from_numpy(weights["shift"])
     scale = torch.from_numpy(weights["scale"])
 
+    n_stages = len({k.split("_")[0] for k in weights if k.startswith("conv")})
+
     def feats(x):
         h = (x - shift) / scale
         out = []
-        for s in range(3):
+        for s in range(n_stages):
             i = 0
             while f"conv{s}_{i}_w" in weights:
                 h = F.conv2d(
@@ -66,7 +68,7 @@ def _torch_lpips(weights, a, b):
                 h = F.relu(h)
                 i += 1
             out.append(h)
-            if s < 2:
+            if s < n_stages - 1:
                 h = F.max_pool2d(h, 2)
         return out
 
@@ -79,6 +81,28 @@ def _torch_lpips(weights, a, b):
         w = torch.from_numpy(weights[f"lin{s}_w"])
         total += float((w * d).sum(dim=1).mean())
     return total
+
+
+def _vgg16_weights(rng):
+    """Full VGG16 LPIPS layout at production channel widths (5 stages,
+    2-2-3-3-3 convs, 64/128/256/512/512 taps) with random weights — the
+    exact archive schema scripts/export_lpips_weights.py produces, so the
+    layout-parsing + 5-stage forward path is what gets parity-checked."""
+    w = {
+        "shift": np.array([-0.030, -0.088, -0.188], np.float32).reshape(1, 3, 1, 1),
+        "scale": np.array([0.458, 0.448, 0.450], np.float32).reshape(1, 3, 1, 1),
+    }
+    chans = [(3, 64, 2), (64, 128, 2), (128, 256, 3), (256, 512, 3), (512, 512, 3)]
+    for s, (cin, cout, n) in enumerate(chans):
+        ci = cin
+        for i in range(n):
+            w[f"conv{s}_{i}_w"] = (
+                rng.normal(0, 0.08, (cout, ci, 3, 3)).astype(np.float32)
+            )
+            w[f"conv{s}_{i}_b"] = rng.normal(0, 0.05, (cout,)).astype(np.float32)
+            ci = cout
+        w[f"lin{s}_w"] = rng.uniform(0, 0.1, (1, cout, 1, 1)).astype(np.float32)
+    return w
 
 
 class TestGating:
@@ -113,8 +137,26 @@ class TestNumerics:
         got = m(a, b)
         weights = dict(np.load(weights_file))
         ref = _torch_lpips(weights, a, b)
-        np.testing.assert_allclose(got, ref, rtol=1e-4)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
         assert got > 0
+
+    def test_matches_torch_on_vgg16_layout(self, monkeypatch, tmp_path):
+        """Parity at the PRODUCTION archive layout (5-stage VGG16 channel
+        widths): the layout parser, stage taps, pools, and lin weighting
+        must agree with an independent torch evaluation to 1e-5."""
+        rng = np.random.default_rng(7)
+        path = tmp_path / "lpips_vgg16_rand.npz"
+        np.savez(path, **_vgg16_weights(rng))
+        monkeypatch.setenv("LPIPS_WEIGHTS", str(path))
+        m = LPIPSMetric()
+        assert m.available
+        a = rng.random((32, 32, 3), dtype=np.float32)
+        b = np.clip(a + rng.normal(0, 0.15, a.shape), 0, 1).astype(np.float32)
+        got = m(a, b)
+        ref = _torch_lpips(dict(np.load(path)), a, b)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+        assert got > 0
+        assert m(a, a) == pytest.approx(0.0, abs=1e-7)
 
     def test_monotone_in_noise(self, monkeypatch, weights_file):
         monkeypatch.setenv("LPIPS_WEIGHTS", str(weights_file))
