@@ -12,6 +12,7 @@ model threads through jit/grad/shard_map; matmuls are MXU-shaped
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -125,6 +126,50 @@ def _matmul(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dtype) -> jnp.ndarra
     return (y + b).astype(dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _matrelu(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dtype) -> jnp.ndarray:
+    """relu(h @ w + b) that materializes ONLY the post-ReLU output.
+
+    Under plain autodiff `jax.nn.relu(_matmul(...))` makes XLA store two
+    (..., H) tensors per trunk layer: the pre-activation (relu's VJP masks
+    on input > 0) AND the post-activation (the next layer's matmul
+    residual). The step is HBM-bandwidth-bound (measured 21.9 GB/step at
+    91% of the v5e roofline, DESIGN.md round 3), so that duplicate write
+    +read is pure waste. ReLU's mask is equally recoverable from the
+    OUTPUT (y > 0 iff relu(y) > 0 — exact, ReLU is identity on the kept
+    side), so this custom VJP saves (h, w, post) where `post` is shared
+    with the next layer's residual and the pre-activation buffer never
+    exists. Forward math is bit-identical to _matmul + relu.
+    """
+    y = jnp.dot(h.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+    return jnp.maximum(y + b, 0.0).astype(dtype)
+
+
+def _matrelu_fwd(h, w, b, dtype):
+    out = _matrelu(h, w, b, dtype)
+    return out, (h, w, out, jnp.zeros((0,), b.dtype))
+
+
+def _matrelu_bwd(dtype, res, g):
+    h, w, out, b_tok = res
+    gm = jnp.where(out > 0, g.astype(jnp.float32), 0.0).astype(dtype)
+    gm2 = gm.reshape(-1, gm.shape[-1])
+    h2 = h.reshape(-1, h.shape[-1]).astype(dtype)
+    dh = jnp.dot(
+        gm2, w.astype(dtype).T, preferred_element_type=jnp.float32
+    ).reshape(g.shape[:-1] + (w.shape[0],)).astype(h.dtype)
+    dw = jax.lax.dot_general(
+        h2, gm2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    db = jnp.sum(gm, axis=tuple(range(gm.ndim - 1)), dtype=jnp.float32).astype(
+        b_tok.dtype
+    )
+    return dh, dw, db
+
+
+_matrelu.defvjp(_matrelu_fwd, _matrelu_bwd)
+
+
 @jax.custom_vjp
 def _matrelu_f8(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """relu(h @ w + b) whose backward reads the INPUT from a float8_e4m3
@@ -188,9 +233,9 @@ def nerf_apply(
         if f8_residuals:
             h = _matrelu_f8(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"])
         else:
-            h = jax.nn.relu(
-                _matmul(h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"],
-                        compute_dtype)
+            h = _matrelu(
+                h, params[f"trunk_{i}_w"], params[f"trunk_{i}_b"],
+                jnp.dtype(compute_dtype),
             )
         if i in cfg.skips:
             h = jnp.concatenate([x_enc, h], axis=-1)
@@ -215,7 +260,9 @@ def nerf_apply(
         h_color = jnp.concatenate([feats, d_enc], axis=-1)
     else:
         h_color = feats
-    h_color = jax.nn.relu(_matmul(h_color, params["dir_w"], params["dir_b"], compute_dtype))
+    h_color = _matrelu(
+        h_color, params["dir_w"], params["dir_b"], jnp.dtype(compute_dtype)
+    )
     rgb = jax.nn.sigmoid(
         _matmul(h_color, params["rgb_w"], params["rgb_b"], compute_dtype)
         .astype(jnp.float32)
