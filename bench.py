@@ -8,14 +8,20 @@ counts and model sizes are identical, so throughput is comparable).
 
 Prints the headline JSON line LAST (the driver records the final line):
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N / 9600, "batch_size": 4096}
+   "vs_baseline": N / 9600, "batch_size": 256}
 vs_baseline compares against the reference's measured ~9.6k rays/s
 (BASELINE.md: outputs/lego_clean_*/logs/train_metrics.csv median). The
-headline batch is 4096 (TPU-shaped feed; the chip saturates there) — NOT
-the reference's 1024 — so an iso-batch line is printed first:
+headline batch is 256 — the measured per-ray-cost sweet spot on v5e
+(DESIGN.md round-3 sweep: 127.0k rays/s at 256 vs 69.4k at 4096; the
+step is HBM-bound and small batches keep trunk activations in
+VMEM-scale tiles) — NOT the reference's 1024, so an iso-batch line is
+printed first:
   {"metric": "train_rays_per_sec_iso_batch1024", ...}
 measured at the reference's own batch 1024 (noisy_src/config.py:46-56)
-for an apples-to-apples vs_baseline.
+for an apples-to-apples vs_baseline. Both lines chunk scan steps to
+~204.8k rays per host round-trip (steps_per_scan = 204800/batch, a
+production knob — the train CLIs accept --steps_per_scan) so the
+dispatch overhead per ray is equalized across batch sizes.
 
 BENCH_MODE=pose_opt instead measures the joint pose-optimization step and
 prints {"metric": "pose_opt_rays_per_sec", ..., "vs_baseline": N / 4520}
@@ -120,12 +126,16 @@ def main():
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
 
-    # TPU-shaped batch: the reference trains 1024 rays/step; one TPU chip is
-    # fed far better at 4096+ (same optimizer semantics, fewer dispatches
-    # per epoch). CPU fallback keeps small shapes so the bench still runs.
+    # Sweet-spot batch: the step is HBM-bandwidth-bound and per-ray cost
+    # FALLS as batch shrinks (trunk activations stay in VMEM-scale tiles);
+    # batch 256 is the measured v5e optimum (DESIGN.md round-3 sweep).
+    # Same optimizer semantics; scan chunking amortizes dispatch overhead.
+    # CPU fallback keeps small shapes so the bench still runs.
     # BENCH_BATCH/BENCH_DTYPE/BENCH_REMAT env vars override for tuning runs.
-    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_accel else 512))
-    scan = int(os.environ.get("BENCH_SCAN", 50 if on_accel else 10))
+    batch = int(os.environ.get("BENCH_BATCH", 256 if on_accel else 512))
+    scan = int(
+        os.environ.get("BENCH_SCAN", max(1, 204800 // batch) if on_accel else 10)
+    )
 
     # 400x400-equivalent ray bank (20 frames is plenty for a throughput bench)
     res = 400 if on_accel else 64
@@ -135,7 +145,7 @@ def main():
     # config.py:46-56 — so this vs_baseline is apples-to-apples). Skipped
     # when BENCH_BATCH is set explicitly (tuning runs) or on CPU fallback.
     if "BENCH_BATCH" not in os.environ and on_accel:
-        metric, value, ref = measure(1024, scan, scene, on_accel)
+        metric, value, ref = measure(1024, 204800 // 1024, scene, on_accel)
         print(
             json.dumps(
                 {
