@@ -12,10 +12,10 @@ Prints the headline JSON line LAST (the driver records the final line):
 vs_baseline compares against the reference's measured ~9.6k rays/s
 (BASELINE.md: outputs/lego_clean_*/logs/train_metrics.csv median). The
 headline batch is 256 — the measured per-ray-cost sweet spot on v5e
-(DESIGN.md round-3 sweep: 127.0k rays/s at 256 vs 69.4k at 4096; the
-step is HBM-bound and small batches keep trunk activations in
-VMEM-scale tiles) — NOT the reference's 1024, so an iso-batch line is
-printed first:
+(DESIGN.md round-3 sweep + roofline: 127.0k rays/s at 256 = 58.6% of the
+bf16 MXU peak, vs 69.4k at 4096; XLA's bwd materialization overhead
+shrinks when per-layer working sets approach VMEM scale) — NOT the
+reference's 1024, so an iso-batch line is printed first:
   {"metric": "train_rays_per_sec_iso_batch1024", ...}
 measured at the reference's own batch 1024 (noisy_src/config.py:46-56)
 for an apples-to-apples vs_baseline. Both lines chunk scan steps to
@@ -126,9 +126,9 @@ def main():
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
 
-    # Sweet-spot batch: the step is HBM-bandwidth-bound and per-ray cost
-    # FALLS as batch shrinks (trunk activations stay in VMEM-scale tiles);
-    # batch 256 is the measured v5e optimum (DESIGN.md round-3 sweep).
+    # Sweet-spot batch: per-ray cost FALLS as batch shrinks (XLA's bwd
+    # materialization overhead shrinks at VMEM-scale working sets);
+    # batch 256 is the measured v5e optimum (DESIGN.md round-3 roofline).
     # Same optimizer semantics; scan chunking amortizes dispatch overhead.
     # CPU fallback keeps small shapes so the bench still runs.
     # BENCH_BATCH/BENCH_DTYPE/BENCH_REMAT env vars override for tuning runs.
