@@ -58,7 +58,14 @@ from .ops.rendering import (
     render_image,
 )
 from .data.blender import SceneData, load_blender_data
-from .data.synthetic import make_synthetic_scene, load_scene, analytic_field, pose_spherical
+from .data.synthetic import (
+    SYNTHETIC_SCENES,
+    analytic_field,
+    load_scene,
+    make_synthetic_scene,
+    pose_spherical,
+    scene_params,
+)
 from .data.banks import (
     RayBank,
     PixelBank,

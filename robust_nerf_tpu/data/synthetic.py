@@ -45,20 +45,76 @@ _BLOB_COLORS = np.array(
     ],
     dtype=np.float32,
 )
+_CLASSIC_TEX_FREQS = np.array([9.0, 11.0, 10.0], dtype=np.float32)
+_CLASSIC_TEX_PHASES = np.zeros(3, dtype=np.float32)
+
+# Names that resolve to the handcrafted scene above (kept bit-identical so
+# every existing test/bench golden stays valid). "lego" because the config
+# default scene_name is lego (config.py DataConfig) and the synthetic source
+# stands in for it when the Blender set is absent.
+_CLASSIC_NAMES = frozenset({"", "lego", "synthetic", "blobs"})
+
+# The 8-scene procedural family — the dataset-free analog of the 8 Blender
+# synthetic scenes for sweep_scenes.py (SURVEY.md §7 item 14; the real set
+# cannot be downloaded here). Each name deterministically seeds a distinct
+# blob layout via scene_params(); any other string is also a valid scene.
+SYNTHETIC_SCENES = (
+    "blobs", "orbit", "stack", "spray", "shells", "arch", "twist", "crown",
+)
 
 
-def analytic_field(pts: jnp.ndarray, textured: bool = False):
+def scene_params(scene_name: str = "blobs"):
+    """Deterministic per-scene analytic-field parameters.
+
+    Classic names return the handcrafted layout; any other name seeds a
+    Generator (stable across runs/platforms via crc32) that samples 4-8
+    Gaussian blobs inside the unit ball plus a texture frequency/phase
+    triple, yielding a visually and geometrically distinct scene per name.
+    """
+    if scene_name in _CLASSIC_NAMES:
+        return (
+            _BLOB_CENTERS,
+            _BLOB_RADII,
+            _BLOB_DENSITY,
+            _BLOB_COLORS,
+            _CLASSIC_TEX_FREQS,
+            _CLASSIC_TEX_PHASES,
+        )
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(scene_name.encode("utf-8")))
+    k = int(rng.integers(4, 9))
+    # Centers in a ball of radius 0.8 (rejection-free: scale by cbrt(u)).
+    dirs = rng.normal(size=(k, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    centers = (dirs * 0.8 * np.cbrt(rng.uniform(size=(k, 1)))).astype(np.float32)
+    radii = rng.uniform(0.18, 0.45, size=k).astype(np.float32)
+    density = rng.uniform(15.0, 26.0, size=k).astype(np.float32)
+    # Saturated, bright-ish albedos: one dominant channel per blob.
+    colors = rng.uniform(0.15, 0.55, size=(k, 3)).astype(np.float32)
+    colors[np.arange(k), rng.integers(0, 3, size=k)] = rng.uniform(
+        0.75, 0.95, size=k
+    ).astype(np.float32)
+    tex_freqs = rng.uniform(6.0, 14.0, size=3).astype(np.float32)
+    tex_phases = rng.uniform(0.0, 2 * np.pi, size=3).astype(np.float32)
+    return centers, radii, density, colors, tex_freqs, tex_phases
+
+
+def analytic_field(pts: jnp.ndarray, textured: bool = False, params=None):
     """Density + color of the analytic scene at world points (..., 3).
 
     Returns (rgb (..., 3), sigma (...,)). Smooth (Gaussian blobs), so a
     coarse MLP can fit it in a few hundred steps. `textured` modulates the
     albedo with a mid-frequency pattern — pose optimization benchmarks need
     texture gradients; smooth blobs underconstrain fine alignment.
+    `params` selects a scene from the procedural family (scene_params());
+    None keeps the classic handcrafted layout.
     """
-    centers = jnp.asarray(_BLOB_CENTERS)
-    radii = jnp.asarray(_BLOB_RADII)
-    dens = jnp.asarray(_BLOB_DENSITY)
-    colors = jnp.asarray(_BLOB_COLORS)
+    if params is None:
+        params = scene_params()
+    centers, radii, dens, colors, tex_freqs, tex_phases = (
+        jnp.asarray(p) for p in params
+    )
 
     d2 = jnp.sum((pts[..., None, :] - centers) ** 2, axis=-1)  # (..., K)
     # Compact support: subtract the 3-sigma tail so density is exactly zero
@@ -75,9 +131,9 @@ def analytic_field(pts: jnp.ndarray, textured: bool = False):
         tex = (
             0.7
             + 0.3
-            * jnp.sin(9.0 * pts[..., 0])
-            * jnp.sin(11.0 * pts[..., 1])
-            * jnp.sin(10.0 * pts[..., 2])
+            * jnp.sin(tex_freqs[0] * pts[..., 0] + tex_phases[0])
+            * jnp.sin(tex_freqs[1] * pts[..., 1] + tex_phases[1])
+            * jnp.sin(tex_freqs[2] * pts[..., 2] + tex_phases[2])
         )
         rgb = jnp.clip(rgb * tex[..., None], 0.0, 1.0)
     return rgb, sigma
@@ -109,7 +165,7 @@ def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarra
 def _render_gt_image(
     pose, H: int, W: int, focal: float,
     near: float, far: float, num_samples: int, white_background: bool,
-    textured: bool = False,
+    textured: bool = False, params=None,
 ):
     from ..ops.rendering import raw2outputs
 
@@ -119,7 +175,7 @@ def _render_gt_image(
     z_vals = near * (1.0 - t) + far * t
     z_vals = jnp.broadcast_to(z_vals, (H, W, num_samples))
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
-    rgb, sigma = analytic_field(pts, textured=textured)
+    rgb, sigma = analytic_field(pts, textured=textured, params=params)
     out = raw2outputs(
         rgb, sigma, z_vals, rays_d, white_background=white_background
     )
@@ -134,14 +190,18 @@ def make_synthetic_scene(
     num_samples: int = 256,
     white_background: bool = True,
     textured: bool = False,
+    scene_name: str = "blobs",
 ) -> SceneData:
     """Generate a SceneData with exactly-rendered GT images.
 
     Splits use disjoint, deterministic camera angles so train/val don't
-    alias. focal is chosen for a ~40 degree horizontal FOV.
+    alias. focal is chosen for a ~40 degree horizontal FOV. `scene_name`
+    picks a member of the procedural family (SYNTHETIC_SCENES); the default
+    is the classic handcrafted layout used by tests and benches.
     """
     H = W = resolution
     focal = 0.5 * W / np.tan(0.5 * np.deg2rad(40.0))
+    params = scene_params(scene_name)
 
     offset = {"train": 0.0, "val": 7.0, "test": 13.0}.get(split, 0.0)
     thetas = np.linspace(0.0, 360.0, num_images, endpoint=False) + offset
@@ -154,7 +214,7 @@ def make_synthetic_scene(
     for pose in poses:
         img = _render_gt_image(
             pose, H, W, float(focal), 2.0, 6.0, num_samples, white_background,
-            textured,
+            textured, params,
         )
         images.append(np.asarray(img, dtype=np.float32))
     return SceneData(
@@ -179,6 +239,7 @@ def load_scene(data_cfg, split: str) -> SceneData:
             resolution=data_cfg.synthetic_resolution,
             split=split,
             textured=getattr(data_cfg, "synthetic_textured", False),
+            scene_name=data_cfg.scene_name,
         )
     from .blender import load_blender_data
 

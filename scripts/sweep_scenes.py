@@ -24,7 +24,7 @@ from robust_nerf_tpu.config import (  # noqa: E402
     TPUConfig,
     TrainConfig,
 )
-from robust_nerf_tpu.data.synthetic import load_scene  # noqa: E402
+from robust_nerf_tpu.data.synthetic import SYNTHETIC_SCENES, load_scene  # noqa: E402
 from robust_nerf_tpu.evalx.inference import evaluate_test_set, load_checkpoint  # noqa: E402
 from robust_nerf_tpu.training.train import train  # noqa: E402
 
@@ -47,10 +47,20 @@ def main(argv=None):
     parser.add_argument("--compute_dtype", default="bfloat16")
     parser.add_argument("--output_dir", default="outputs/scene_sweep")
     parser.add_argument("--max_test_images", type=int, default=None)
+    parser.add_argument("--synthetic_resolution", type=int, default=800,
+                        help="frame size for the procedural family "
+                             "(800 matches the Blender sweep's full res)")
+    parser.add_argument("--synthetic_textured", action="store_true")
+    parser.add_argument("--val_every", type=int, default=None,
+                        help="default: num_iters (final eval only)")
     args = parser.parse_args(argv)
 
+    # Without the Blender set on disk, the synthetic source sweeps the
+    # 8-member procedural family (data/synthetic.py SYNTHETIC_SCENES) —
+    # 8 geometrically distinct scenes, same count as the Blender sweep.
     scenes = args.scenes or (
-        BLENDER_SCENES if args.data_source == "blender" else ["synthetic"]
+        BLENDER_SCENES if args.data_source == "blender"
+        else list(SYNTHETIC_SCENES)
     )
     out_root = Path(args.output_dir)
     out_root.mkdir(parents=True, exist_ok=True)
@@ -66,11 +76,14 @@ def main(argv=None):
                 img_scale=args.img_scale,
                 batch_size=args.batch_size,
                 source=args.data_source,
+                synthetic_resolution=args.synthetic_resolution,
+                synthetic_textured=args.synthetic_textured,
             ),
             train=TrainConfig(
                 num_iterations=args.num_iters,
                 output_dir=out_root,
                 experiment_name=f"{scene}_sweep",
+                val_every=args.val_every or args.num_iters,
             ),
             tpu=TPUConfig(compute_dtype=args.compute_dtype),
         )

@@ -60,6 +60,74 @@ class TestSyntheticScene:
         np.testing.assert_array_equal(a.images, b.images)
 
 
+class TestSceneFamily:
+    """The 8-member procedural family (SYNTHETIC_SCENES) standing in for
+    the Blender 8-scene sweep (SURVEY.md §7 item 14)."""
+
+    def test_classic_aliases_unchanged(self):
+        from robust_nerf_tpu.data.synthetic import scene_params
+
+        for name in ("lego", "synthetic", "blobs"):
+            c, r, d, col, tf, tp = scene_params(name)
+            np.testing.assert_array_equal(tf, [9.0, 11.0, 10.0])
+            assert c.shape == (5, 3)
+        # the classic scene renders bit-identically to the default
+        a = make_synthetic_scene(num_images=1, resolution=16, num_samples=64)
+        b = make_synthetic_scene(
+            num_images=1, resolution=16, num_samples=64, scene_name="lego"
+        )
+        np.testing.assert_array_equal(a.images, b.images)
+
+    def test_family_members_distinct_and_valid(self):
+        from robust_nerf_tpu.data.synthetic import SYNTHETIC_SCENES, scene_params
+
+        assert len(SYNTHETIC_SCENES) == 8
+        imgs = {}
+        for name in SYNTHETIC_SCENES[:4]:
+            s = make_synthetic_scene(
+                num_images=1, resolution=16, num_samples=64, scene_name=name
+            )
+            assert np.all(np.isfinite(s.images))
+            assert s.images.min() >= 0.0 and s.images.max() <= 1.0
+            # object visible: not an all-white frame
+            assert s.images.min() < 0.9
+            imgs[name] = s.images
+        names = list(imgs)
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                assert not np.allclose(imgs[names[i]], imgs[names[j]]), (
+                    f"{names[i]} and {names[j]} render identically"
+                )
+
+    def test_generated_params_well_conditioned(self):
+        from robust_nerf_tpu.data.synthetic import SYNTHETIC_SCENES, scene_params
+
+        for name in SYNTHETIC_SCENES:
+            c, r, d, col, tf, tp = scene_params(name)
+            k = c.shape[0]
+            assert 4 <= k <= 8 or name == "blobs"
+            assert np.all(np.linalg.norm(c, axis=-1) <= 0.81)
+            assert np.all((r > 0.1) & (r < 0.5))
+            assert np.all(col >= 0.0) and np.all(col <= 1.0)
+            # deterministic across calls
+            c2 = scene_params(name)[0]
+            np.testing.assert_array_equal(c, c2)
+
+    def test_load_scene_respects_scene_name(self):
+        from robust_nerf_tpu.config import DataConfig
+        from robust_nerf_tpu.data.synthetic import load_scene
+
+        cfg = DataConfig(
+            scene_name="crown", source="synthetic",
+            synthetic_num_train=1, synthetic_resolution=16,
+        )
+        a = load_scene(cfg, "train")
+        b = make_synthetic_scene(
+            num_images=1, resolution=16, scene_name="crown"
+        )
+        np.testing.assert_array_equal(a.images, b.images)
+
+
 class TestBlenderLoader:
     @pytest.fixture
     def fake_blender_dir(self, tmp_path):
