@@ -160,16 +160,20 @@ def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarra
     return rot_theta @ rot_phi @ trans
 
 
-@partial(jax.jit, static_argnames=("H", "W", "num_samples", "white_background",
-                                    "textured"))
-def _render_gt_image(
-    pose, H: int, W: int, focal: float,
+@partial(jax.jit, static_argnames=("H", "W", "full_H", "num_samples",
+                                    "white_background", "textured"))
+def _render_gt_rows(
+    pose, row0, H: int, W: int, full_H: int, focal: float,
     near: float, far: float, num_samples: int, white_background: bool,
     textured: bool = False, params=None,
 ):
+    """Exactly volume-render a (H, W) row block starting at pixel row row0
+    of a full_H-tall frame."""
     from ..ops.rendering import raw2outputs
 
-    directions = get_ray_directions(H, W, focal)
+    directions = jax.lax.dynamic_slice_in_dim(
+        get_ray_directions(full_H, W, focal), row0, H, axis=0
+    )
     rays_o, rays_d = get_rays(directions, jnp.asarray(pose))
     t = jnp.linspace(0.0, 1.0, num_samples)
     z_vals = near * (1.0 - t) + far * t
@@ -180,6 +184,41 @@ def _render_gt_image(
         rgb, sigma, z_vals, rays_d, white_background=white_background
     )
     return out["rgb_map"]
+
+
+# Row-block size cap so the GT render's (rows, W, S, K) blob-distance
+# intermediate stays well under HBM scale at 800x800xS=256 (a full frame
+# there is ~5 GB of transients). 128 rows x 800 x 256 x 8 blobs f32
+# ≈ 840 MB peak — safe on the chip and on CPU hosts.
+_GT_MAX_PIXELS_PER_BLOCK = 128 * 800
+
+
+def _render_gt_image(
+    pose, H: int, W: int, focal: float,
+    near: float, far: float, num_samples: int, white_background: bool,
+    textured: bool = False, params=None,
+):
+    rows_per_block = max(1, _GT_MAX_PIXELS_PER_BLOCK // max(W, 1))
+    if H <= rows_per_block:
+        return _render_gt_rows(
+            pose, 0, H, W, H, focal, near, far, num_samples,
+            white_background, textured, params,
+        )
+    # fixed-size blocks (one compile) + a remainder block
+    blocks = []
+    r = 0
+    while r + rows_per_block <= H:
+        blocks.append(np.asarray(_render_gt_rows(
+            pose, r, rows_per_block, W, H, focal, near, far, num_samples,
+            white_background, textured, params,
+        )))
+        r += rows_per_block
+    if r < H:
+        blocks.append(np.asarray(_render_gt_rows(
+            pose, r, H - r, W, H, focal, near, far, num_samples,
+            white_background, textured, params,
+        )))
+    return jnp.asarray(np.concatenate(blocks, axis=0))
 
 
 def make_synthetic_scene(

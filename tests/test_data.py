@@ -59,6 +59,19 @@ class TestSyntheticScene:
         b = make_synthetic_scene(num_images=2, resolution=16, num_samples=64)
         np.testing.assert_array_equal(a.images, b.images)
 
+    def test_row_chunked_gt_render_matches_single_block(self, monkeypatch):
+        # large-resolution GT frames render in row blocks to bound HBM;
+        # force chunking at tiny size and require bit-equality with the
+        # unchunked path (incl. an uneven remainder block: 24 = 10+10+4)
+        import robust_nerf_tpu.data.synthetic as syn
+
+        whole = make_synthetic_scene(num_images=1, resolution=24,
+                                     num_samples=64, textured=True)
+        monkeypatch.setattr(syn, "_GT_MAX_PIXELS_PER_BLOCK", 10 * 24)
+        chunked = make_synthetic_scene(num_images=1, resolution=24,
+                                       num_samples=64, textured=True)
+        np.testing.assert_array_equal(whole.images, chunked.images)
+
 
 class TestSceneFamily:
     """The 8-member procedural family (SYNTHETIC_SCENES) standing in for
