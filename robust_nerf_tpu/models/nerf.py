@@ -95,10 +95,13 @@ def init_nerf_params(key: jax.Array, cfg: Optional[ModelConfig] = None) -> Param
         if i in cfg.skips:
             in_dim += pos_dim
 
+    # in_dim now holds the trunk's OUTPUT dim — hidden_dim, plus pos_dim
+    # when the last layer index is in skips (nerf_apply concatenates after
+    # every skip layer, including a trailing one)
     k = cfg.num_hidden_layers
-    params["sigma_w"], params["sigma_b"] = _linear_init(keys[k], cfg.hidden_dim, 1)
+    params["sigma_w"], params["sigma_b"] = _linear_init(keys[k], in_dim, 1)
     params["feat_w"], params["feat_b"] = _linear_init(
-        keys[k + 1], cfg.hidden_dim, cfg.hidden_dim
+        keys[k + 1], in_dim, cfg.hidden_dim
     )
     color_in = cfg.hidden_dim + (dir_dim if cfg.use_view_dirs else 0)
     params["dir_w"], params["dir_b"] = _linear_init(

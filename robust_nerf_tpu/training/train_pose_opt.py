@@ -336,6 +336,31 @@ def train_with_pose_optimization(
     return summary
 
 
+# The seed-validated severe-noise recovery recipe (results/seedrobust/:
+# independent 5 deg / 5% noise draws recover to <0.5 deg aligned by 40k
+# with this config, where the reference defaults stall — its reg terms
+# anchor poses to the noisy init). Standard defaults are reference parity.
+SEVERE_RECOVERY_PRESET = dict(
+    pose_lr=1e-3, pose_opt_delay=100, rotation_reg_weight=0.0,
+    translation_reg_weight=0.0, freq_anneal_iters=3000,
+)
+STANDARD_PRESET = dict(
+    pose_lr=1e-4, pose_opt_delay=1000, rotation_reg_weight=0.01,
+    translation_reg_weight=0.001, freq_anneal_iters=0,
+)
+
+
+def resolve_pose_opt_defaults(args):
+    """Fill None-valued pose-opt flags from the active preset
+    (--severe_recovery or reference-parity standard); explicit flags win."""
+    preset = (SEVERE_RECOVERY_PRESET if getattr(args, "severe_recovery", False)
+              else STANDARD_PRESET)
+    for name, value in preset.items():
+        if getattr(args, name) is None:
+            setattr(args, name, value)
+    return args
+
+
 def main(argv=None):
     from .train import add_common_args
 
@@ -347,18 +372,34 @@ def main(argv=None):
     parser.add_argument("--num_iters", type=int, default=50000)
     parser.add_argument("--val_every", type=int, default=2500)
     parser.add_argument("--exp_name", type=str, default="auto")
-    # pose-opt group (reference: train_pose_opt.py:1098-1114)
+    # pose-opt group (reference: train_pose_opt.py:1098-1114).
+    # pose_lr/delay/reg/anneal default to None so --severe_recovery can
+    # supply its preset without clobbering explicitly-passed values.
     parser.add_argument("--init_mode", type=str, default="noisy",
                         choices=["clean", "noisy"])
-    parser.add_argument("--pose_lr", type=float, default=1e-4)
-    parser.add_argument("--pose_opt_delay", type=int, default=1000)
+    parser.add_argument("--pose_lr", type=float, default=None,
+                        help="default 1e-4 (reference parity)")
+    parser.add_argument("--pose_opt_delay", type=int, default=None,
+                        help="default 1000 (reference parity)")
     parser.add_argument("--no_learn_rotation", action="store_true")
     parser.add_argument("--no_learn_translation", action="store_true")
-    parser.add_argument("--rotation_reg_weight", type=float, default=0.01)
-    parser.add_argument("--translation_reg_weight", type=float, default=0.001)
-    parser.add_argument("--freq_anneal_iters", type=int, default=0,
-                        help="BARF coarse-to-fine encoding annealing (0 = off)")
+    parser.add_argument("--rotation_reg_weight", type=float, default=None,
+                        help="default 0.01 (reference parity)")
+    parser.add_argument("--translation_reg_weight", type=float, default=None,
+                        help="default 0.001 (reference parity)")
+    parser.add_argument("--freq_anneal_iters", type=int, default=None,
+                        help="BARF coarse-to-fine encoding annealing "
+                             "(default 0 = off)")
+    parser.add_argument(
+        "--severe_recovery", action="store_true",
+        help="preset for severe pose noise (>=3 deg / >=3%%): freq "
+             "annealing 3000 iters, pose_lr 1e-3, delay 100, reg weights 0. "
+             "Validated across independent noise seeds at 5 deg / 5%% "
+             "(results/seedrobust/; docs/POSE_OPTIMIZATION.md). The "
+             "reference's defaults anchor poses to the noisy init at this "
+             "noise level. Explicit flags override the preset.")
     args = parser.parse_args(argv)
+    resolve_pose_opt_defaults(args)
 
     from .train import build_config_from_args, maybe_init_multihost
 

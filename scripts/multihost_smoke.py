@@ -1,4 +1,4 @@
-"""Two-process multi-host smoke test on CPU (gloo collectives).
+"""Two-process multi-host validation on CPU (gloo collectives).
 
 Validates the pod-scale path that cannot be exercised on the single
 tunneled chip: `jax.distributed.initialize` with a real coordinator, a
@@ -8,13 +8,27 @@ same code path `--multihost` enables in the training CLIs
 (training/train.py:maybe_init_multihost; the reference is single-process,
 SURVEY.md §5.8).
 
-Run: python scripts/multihost_smoke.py            (parent; spawns 2 workers)
-     each worker gets 4 virtual CPU devices -> 8 global devices.
-Prints MULTIHOST_SMOKE_OK on success.
+Three checks, strictly stronger than a liveness smoke:
+1. convergence — 100 training iterations must cut the loss to <70% of the
+   first-chunk mean (real optimization through gloo collectives; measured
+   ratio ~0.49 at this config);
+2. replication — every process holds a bit-identical model after psum'd
+   updates (parameter checksum allgather);
+3. trajectory equivalence — the 2-process/8-device gloo run must produce
+   the same per-chunk loss trajectory as a single-process 8-device run of
+   the identical config/seed/data (multi-host introduces no numerical or
+   semantic drift vs the already-validated single-process sharded path,
+   which tests/test_sharding.py ties to the 1-device path).
+
+Run: python scripts/multihost_smoke.py            (parent; spawns 2 workers
+     + 1 single-process control) — each worker gets 4 virtual CPU devices
+     -> 8 global devices. Prints MULTIHOST_SMOKE_OK and MULTIHOST_EQUIV_OK
+     on success.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -25,9 +39,10 @@ REPO = Path(__file__).resolve().parent.parent
 NUM_PROCS = 2
 LOCAL_DEVICES = 4
 PORT = 12765
+NUM_CHUNKS = 20  # x steps_per_scan=5 -> 100 training iterations
 
 
-def worker(process_id: int) -> None:
+def _force_cpu(num_devices: int) -> None:
     # Force the CPU backend before jax initializes (CLAUDE.md gotcha: the
     # sitecustomize re-registers the TPU plugin unless this is unset).
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -36,7 +51,59 @@ def worker(process_id: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
+    jax.config.update("jax_num_cpu_devices", num_devices)
+
+
+def _run_trajectory():
+    """Train NUM_CHUNKS scan-chunks on the global mesh; return the
+    per-chunk mean-loss list and the final state. Identical config/data/
+    seed regardless of process topology, so trajectories are comparable."""
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, str(REPO))
+    from robust_nerf_tpu.config import (
+        DataConfig, ModelConfig, NeRFConfig, RenderConfig, TPUConfig,
+        TrainConfig,
+    )
+    from robust_nerf_tpu.data.banks import build_ray_bank
+    from robust_nerf_tpu.data.synthetic import make_synthetic_scene
+    from robust_nerf_tpu.parallel.mesh import create_mesh, replicate
+    from robust_nerf_tpu.training.steps import (
+        create_train_state, make_train_chunk,
+    )
+
+    cfg = NeRFConfig(
+        model=ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
+                          num_hidden_layers=2, skips=(0,)),
+        render=RenderConfig(num_samples=8, num_samples_fine=8),
+        data=DataConfig(batch_size=16 * jax.device_count(), source="synthetic"),
+        train=TrainConfig(seed=0),
+        tpu=TPUConfig(steps_per_scan=5),
+    )
+    # identical host-side data on every process (the banks path); the mesh
+    # spans all global devices
+    scene = make_synthetic_scene(num_images=4, resolution=16, num_samples=32)
+    bank, _, _ = build_ray_bank(scene)
+    mesh = create_mesh()
+    state = replicate(create_train_state(jax.random.PRNGKey(0), cfg), mesh)
+    bank = replicate(bank, mesh)
+
+    chunk = make_train_chunk(cfg, mesh=mesh, steps=5)
+    losses = []
+    for i in range(NUM_CHUNKS):
+        state, metrics = chunk(state, bank, jax.random.PRNGKey(1 + i))
+        arr = np.asarray(jax.device_get(metrics["loss"]), dtype=np.float64)
+        assert np.all(np.isfinite(arr)), arr
+        losses.append(float(arr.mean()))
+    return losses, state
+
+
+def worker(process_id: int) -> None:
+    _force_cpu(LOCAL_DEVICES)
+
+    import jax
+
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{PORT}",
@@ -48,42 +115,16 @@ def worker(process_id: int) -> None:
     import numpy as np
 
     sys.path.insert(0, str(REPO))
-    from robust_nerf_tpu.config import (
-        DataConfig, ModelConfig, NeRFConfig, RenderConfig, TPUConfig,
-        TrainConfig,
-    )
-    from robust_nerf_tpu.data.banks import build_ray_bank
-    from robust_nerf_tpu.data.synthetic import make_synthetic_scene
-    from robust_nerf_tpu.parallel.mesh import (
-        create_mesh, is_primary_host, replicate,
-    )
-    from robust_nerf_tpu.training.steps import (
-        create_train_state, make_train_chunk,
-    )
+    from robust_nerf_tpu.parallel.mesh import is_primary_host
 
     assert jax.process_count() == NUM_PROCS
     assert jax.device_count() == NUM_PROCS * LOCAL_DEVICES
 
-    cfg = NeRFConfig(
-        model=ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
-                          num_hidden_layers=2, skips=(0,)),
-        render=RenderConfig(num_samples=8, num_samples_fine=8),
-        data=DataConfig(batch_size=16 * jax.device_count(), source="synthetic"),
-        train=TrainConfig(seed=0),
-        tpu=TPUConfig(steps_per_scan=5),
-    )
-    # identical host-side data on every process (the banks path); the mesh
-    # spans all 8 global devices
-    scene = make_synthetic_scene(num_images=4, resolution=16, num_samples=32)
-    bank, _, _ = build_ray_bank(scene)
-    mesh = create_mesh()
-    state = replicate(create_train_state(jax.random.PRNGKey(0), cfg), mesh)
-    bank = replicate(bank, mesh)
+    losses, state = _run_trajectory()
 
-    chunk = make_train_chunk(cfg, mesh=mesh, steps=5)
-    state, metrics = chunk(state, bank, jax.random.PRNGKey(1))
-    losses = np.asarray(jax.device_get(metrics["loss"]))
-    assert np.all(np.isfinite(losses)), losses
+    # convergence: 100 iterations must actually optimize, not just run
+    # (measured ratio ~0.49 at this tiny config; 0.7 leaves safety margin)
+    assert losses[-1] < 0.7 * losses[0], losses
 
     # every process must hold the identical replicated model after psum'd
     # updates — compare a parameter checksum across processes
@@ -98,44 +139,103 @@ def worker(process_id: int) -> None:
     assert np.allclose(gathered, gathered[0], rtol=1e-6), gathered
 
     if is_primary_host():
+        print("MULTIHOST_TRAJECTORY " + json.dumps(losses), flush=True)
         print(
             f"MULTIHOST_SMOKE_OK procs={jax.process_count()} "
-            f"devices={jax.device_count()} loss={losses[-1]:.5f} "
+            f"devices={jax.device_count()} loss_first={losses[0]:.5f} "
+            f"loss_last={losses[-1]:.5f} "
             f"checksums={gathered.round(3).tolist()}",
             flush=True,
         )
+
+
+def single_control() -> None:
+    """Single-process 8-device control run of the identical trajectory."""
+    _force_cpu(NUM_PROCS * LOCAL_DEVICES)
+
+    import jax
+
+    assert jax.process_count() == 1
+    assert jax.device_count() == NUM_PROCS * LOCAL_DEVICES
+    losses, _ = _run_trajectory()
+    print("SINGLE_TRAJECTORY " + json.dumps(losses), flush=True)
+
+
+def _extract(out: str, tag: str):
+    for line in out.splitlines():
+        if line.startswith(tag + " "):
+            return json.loads(line[len(tag) + 1:])
+    return None
 
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
         return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        single_control()
+        return 0
 
-    procs = []
-    for pid in range(NUM_PROCS):
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, __file__, "--worker", str(pid)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
-            )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
         )
+        for pid in range(NUM_PROCS)
+    ]
+    # the single-process control shares no coordinator; run it alongside
+    control = subprocess.Popen(
+        [sys.executable, __file__, "--single"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
     ok = True
+    multi_traj = None
     for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         if p.returncode != 0:
             ok = False
             print(f"--- worker {pid} FAILED (rc={p.returncode}) ---")
-        tail = "\n".join(out.strip().splitlines()[-10:])
+            print("\n".join(out.strip().splitlines()[-15:]))
+            continue
         if "MULTIHOST_SMOKE_OK" in out:
-            print([l for l in out.splitlines() if "MULTIHOST_SMOKE_OK" in l][0])
-        elif not ok:
-            print(tail)
+            print([l for l in out.splitlines()
+                   if "MULTIHOST_SMOKE_OK" in l][0])
+            multi_traj = _extract(out, "MULTIHOST_TRAJECTORY")
+
+    out, _ = control.communicate(timeout=900)
+    single_traj = _extract(out, "SINGLE_TRAJECTORY")
+    if control.returncode != 0 or single_traj is None:
+        ok = False
+        print(f"--- single control FAILED (rc={control.returncode}) ---")
+        print("\n".join(out.strip().splitlines()[-15:]))
+
+    if ok and multi_traj is not None and single_traj is not None:
+        import numpy as np
+
+        a = np.asarray(multi_traj)
+        b = np.asarray(single_traj)
+        # gloo vs local collectives may reassociate reductions -> tiny FP
+        # drift compounding over 100 iters; the trajectories must still
+        # agree closely chunk-for-chunk
+        if np.allclose(a, b, rtol=2e-3, atol=1e-6):
+            print(
+                "MULTIHOST_EQUIV_OK max_rel_diff="
+                f"{float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-12))):.2e}"
+            )
+        else:
+            ok = False
+            print("MULTIHOST_EQUIV_FAIL")
+            print("multi :", a.tolist())
+            print("single:", b.tolist())
+    elif ok:
+        ok = False
+        print("MULTIHOST_EQUIV_FAIL missing trajectories")
     return 0 if ok else 1
 
 

@@ -51,6 +51,12 @@ def main(argv=None):
     p.add_argument("--freq_anneal_iters", type=int, default=2000)
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--num_samples_fine", type=int, default=64)
+    # model-size knobs: production defaults; shrink on CPU meshes where
+    # the 8x256 MLPs dominate (the sharded-path semantics under test —
+    # shard_map sampling, psum'd pose+MLP grads — are size-independent)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--num_hidden_layers", type=int, default=8)
+    p.add_argument("--pos_freqs", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     # reference-default regularization (train_pose_opt.py:621); the reg is
     # a MEAN over deltas gated on the delay, so the defaults are mild
@@ -70,6 +76,12 @@ def main(argv=None):
 
     cfg = rn.NeRFConfig()
     cfg.data.batch_size = args.batch_size
+    cfg.model = rn.ModelConfig(
+        hidden_dim=args.hidden_dim,
+        num_hidden_layers=args.num_hidden_layers,
+        pos_freqs=args.pos_freqs,
+        skips=(args.num_hidden_layers // 2,),
+    )
     cfg.render = rn.RenderConfig(
         num_samples=args.num_samples, num_samples_fine=args.num_samples_fine
     )

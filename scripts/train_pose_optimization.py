@@ -76,12 +76,14 @@ def exp_4_joint_noise(args):
 
 
 def exp_5_severe_noise(args):
-    """Severe noise: 5 degrees + 2%, lower pose lr, short delay."""
+    """Severe noise: 5 degrees + 2%, the seed-validated severe-recovery
+    recipe (training/train_pose_opt.py SEVERE_RECOVERY_PRESET)."""
+    from robust_nerf_tpu.training.train_pose_opt import SEVERE_RECOVERY_PRESET
+
     cfg = _base_config(args, args.num_iters)
     cfg.pose_opt = PoseOptConfig(init_mode="noisy", rotation_noise_deg=5.0,
-                                 translation_noise_pct=2.0, pose_lr=2e-4,
-                                 pose_opt_delay=500, noise_seed=42,
-                                 freq_anneal_iters=5000)
+                                 translation_noise_pct=2.0, noise_seed=42,
+                                 **SEVERE_RECOVERY_PRESET)
     return cfg, NoiseConfig(rotation_noise_deg=5.0, translation_noise_pct=2.0,
                             seed=42)
 

@@ -69,6 +69,20 @@ class TestNeRFModel:
         assert float(rgb.min()) >= 0.0 and float(rgb.max()) <= 1.0
         assert float(sigma.min()) >= 0.0
 
+    def test_trailing_skip_layer(self):
+        """init must size the sigma/feat heads off the trunk's actual
+        output dim: a skip at the LAST trunk layer leaves h at
+        hidden+pos_dim (regression: init used hidden_dim and nerf_apply
+        crashed for e.g. skips=(1,) with 2 layers)."""
+        for skips in [(0,), (1,)]:
+            cfg = ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
+                              num_hidden_layers=2, skips=skips)
+            params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+            rgb, sigma = nerf_apply(
+                params, jnp.ones((8, 3)), jnp.ones((8, 3)), cfg
+            )
+            assert rgb.shape == (8, 3) and sigma.shape == (8, 1)
+
     def test_coarse_fine_independent(self):
         models = create_nerf(jax.random.PRNGKey(0))
         assert "coarse" in models and "fine" in models

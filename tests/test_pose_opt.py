@@ -244,6 +244,40 @@ class TestPoseOptCLI:
         assert set(data.files) == {"initial", "optimized", "ground_truth"}
         assert not np.allclose(data["initial"], data["ground_truth"])
 
+    def test_severe_recovery_preset_resolution(self):
+        import argparse
+
+        from robust_nerf_tpu.training.train_pose_opt import (
+            SEVERE_RECOVERY_PRESET,
+            resolve_pose_opt_defaults,
+        )
+
+        def ns(**kw):
+            base = dict(pose_lr=None, pose_opt_delay=None,
+                        rotation_reg_weight=None, translation_reg_weight=None,
+                        freq_anneal_iters=None, severe_recovery=False)
+            base.update(kw)
+            return argparse.Namespace(**base)
+
+        # standard defaults = reference parity (config.py PoseOptConfig)
+        a = resolve_pose_opt_defaults(ns())
+        assert (a.pose_lr, a.pose_opt_delay) == (1e-4, 1000)
+        assert (a.rotation_reg_weight, a.translation_reg_weight) == (0.01, 0.001)
+        assert a.freq_anneal_iters == 0
+
+        # the preset fills every unset flag
+        a = resolve_pose_opt_defaults(ns(severe_recovery=True))
+        for k, v in SEVERE_RECOVERY_PRESET.items():
+            assert getattr(a, k) == v
+
+        # explicit flags beat the preset
+        a = resolve_pose_opt_defaults(
+            ns(severe_recovery=True, pose_lr=5e-4, freq_anneal_iters=0)
+        )
+        assert a.pose_lr == 5e-4
+        assert a.freq_anneal_iters == 0
+        assert a.pose_opt_delay == 100
+
 
 class TestFreqAnnealedPoseOpt:
     def test_annealed_chunk_runs(self, tiny_scene, tiny_config):
