@@ -1,11 +1,14 @@
-"""Supervisor: relaunch a training CLI after a wedge-watchdog exit.
+"""Supervisor: relaunch a training CLI after a wedge or runtime crash.
 
 Runs any `python -m noisy_src.train*` command line; whenever it exits with
-EX_TEMPFAIL (75 — the wedge watchdog's code, training/watchdog.py) the
-command is relaunched with `--resume <run_dir>` so training continues from
-the latest checkpoint in a FRESH process (a wedged device tunnel cannot be
-recovered in-process — round-1 incident, ROADMAP). Any other exit code
-ends supervision.
+EX_TEMPFAIL (75 — the wedge watchdog's code, training/watchdog.py) OR dies
+on a crash signal (SIGABRT/SIGSEGV/SIGBUS/SIGFPE/SIGILL — e.g. the device
+tunnel's C++ runtime aborting mid-run, observed as `terminate called ...`
+rc=-6 during the round-3 200k run) the command is relaunched with
+`--resume <run_dir>` so training continues from the latest checkpoint in a
+FRESH process (a wedged or crashed device tunnel cannot be recovered
+in-process — round-1 incident, ROADMAP). Clean exits, ordinary Python
+errors, and operator kills (SIGINT/SIGTERM/SIGKILL) end supervision.
 
     python scripts/supervise_train.py --run_dir outputs/myexp --max_retries 5 -- \
         python -m noisy_src.train --output_dir outputs --exp_name myexp \
@@ -15,10 +18,31 @@ ends supervision.
 from __future__ import annotations
 
 import argparse
+import signal
 import subprocess
 import sys
 
 EX_TEMPFAIL = 75
+
+# Crash signals that indicate the process died out from under the training
+# loop (runtime abort, memory fault) rather than a deliberate stop. Both
+# subprocess conventions are recognized: negative (Popen) and 128+N (shell).
+CRASH_SIGNALS = {
+    signal.SIGABRT,
+    signal.SIGSEGV,
+    signal.SIGBUS,
+    signal.SIGFPE,
+    signal.SIGILL,
+}
+
+
+def should_relaunch(rc: int) -> bool:
+    if rc == EX_TEMPFAIL:
+        return True
+    crash_nums = {int(s) for s in CRASH_SIGNALS}
+    if rc < 0:
+        return -rc in crash_nums
+    return rc > 128 and (rc - 128) in crash_nums
 
 
 def supervise(cmd, run_dir: str, max_retries: int = 5) -> int:
@@ -28,7 +52,7 @@ def supervise(cmd, run_dir: str, max_retries: int = 5) -> int:
         print(f"[supervisor] launching (attempt {attempt + 1}): "
               f"{' '.join(current)}", flush=True)
         rc = subprocess.call(current)
-        if rc != EX_TEMPFAIL:
+        if not should_relaunch(rc):
             print(f"[supervisor] exited rc={rc}; done", flush=True)
             return rc
         attempt += 1
@@ -38,8 +62,8 @@ def supervise(cmd, run_dir: str, max_retries: int = 5) -> int:
             return rc
         if "--resume" not in current:
             current = current + ["--resume", run_dir]
-        print(f"[supervisor] wedge detected (rc=75); resuming from {run_dir}",
-              flush=True)
+        reason = "wedge (rc=75)" if rc == EX_TEMPFAIL else f"crash (rc={rc})"
+        print(f"[supervisor] {reason}; resuming from {run_dir}", flush=True)
 
 
 def main(argv=None):

@@ -84,3 +84,52 @@ class TestSupervisor:
             max_retries=2,
         )
         assert rc == EX_TEMPFAIL
+
+    def test_relaunches_on_crash_signal(self, tmp_path):
+        """A SIGABRT death (tunnel C++ runtime abort, round-3 200k-run
+        incident) is resumed just like a wedge; clean rc=0 then stops."""
+        sys.path.insert(0, "scripts")
+        from supervise_train import supervise
+
+        marker = tmp_path / "attempts"
+        script = tmp_path / "abort_once.py"
+        script.write_text(
+            "import os, signal, sys, pathlib\n"
+            f"m = pathlib.Path({str(marker)!r})\n"
+            "n = int(m.read_text()) if m.exists() else 0\n"
+            "m.write_text(str(n + 1))\n"
+            "if n == 0:\n"
+            "    os.kill(os.getpid(), signal.SIGABRT)\n"
+            "sys.exit(0 if '--resume' in sys.argv else 1)\n"
+        )
+        rc = supervise(
+            [sys.executable, str(script)], run_dir=str(tmp_path),
+            max_retries=3,
+        )
+        assert rc == 0
+        assert int(marker.read_text()) == 2   # 1 crash + 1 resumed success
+
+    def test_no_relaunch_on_operator_kill_or_error(self, tmp_path):
+        """SIGTERM/SIGINT deaths and plain Python errors end supervision."""
+        sys.path.insert(0, "scripts")
+        from supervise_train import should_relaunch, supervise
+
+        assert not should_relaunch(0)
+        assert not should_relaunch(1)        # ordinary Python error
+        assert not should_relaunch(-15)      # SIGTERM (operator kill)
+        assert not should_relaunch(-2)       # SIGINT
+        assert not should_relaunch(-9)       # SIGKILL
+        assert should_relaunch(-6)           # SIGABRT
+        assert should_relaunch(134)          # shell-style 128+SIGABRT
+        assert should_relaunch(-11)          # SIGSEGV
+        assert should_relaunch(75)           # wedge watchdog
+
+        script = tmp_path / "dies_term.py"
+        script.write_text(
+            "import os, signal; os.kill(os.getpid(), signal.SIGTERM)\n"
+        )
+        rc = supervise(
+            [sys.executable, str(script)], run_dir=str(tmp_path),
+            max_retries=3,
+        )
+        assert rc == -15
