@@ -109,8 +109,27 @@ def assemble_video(frames_dir: Path, video_path: Path, fps: int) -> Path:
         print(f"Video: {video_path}")
         return video_path
     except Exception as e:
-        print(f"ffmpeg unavailable ({e}); frames kept in {frames_dir}")
-        return frames_dir
+        print(f"ffmpeg unavailable ({e}); assembling an animated GIF instead")
+        try:
+            from PIL import Image
+
+            frames = [
+                Image.open(p)
+                for p in sorted(frames_dir.glob("frame_*.png"))
+            ]
+            gif_path = video_path.with_suffix(".gif")
+            frames[0].save(
+                gif_path,
+                save_all=True,
+                append_images=frames[1:],
+                duration=max(1, round(1000 / fps)),
+                loop=0,
+            )
+            print(f"Video (GIF fallback): {gif_path}")
+            return gif_path
+        except Exception as e2:
+            print(f"GIF fallback failed ({e2}); frames kept in {frames_dir}")
+            return frames_dir
 
 
 def main(argv=None):
