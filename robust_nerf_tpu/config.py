@@ -121,17 +121,22 @@ class TPUConfig:
     compute_dtype: str = "float32"
     # Fixed ray-tile size for full-frame rendering (lax.map over tiles
     # replaces the reference's Python chunk loop, rendering.py:299-322).
-    eval_tile: int = 4096
+    # 256 is the measured v5e optimum — the same VMEM-scale working-set
+    # effect as the train batch sweep; per-frame render cost falls
+    # monotonically from tile 8192 down to 256 (scripts/profile_eval.py:
+    # 386.7k rays/s @256 vs 266.9k @4096, f32 400x400).
+    eval_tile: int = 256
     # Train steps fused into one lax.scan dispatch (metrics still come back
     # one row per iteration, matching the reference CSV cadence).
     steps_per_scan: int = 100
     # Data-parallel mesh axis size; 0 = use all visible devices.
     num_devices: int = 0
     # Fused Pallas posenc+MLP kernel. "auto" = measured-fastest per
-    # context on TPU: XLA (activations stored, remat off) for the full
-    # train step (68.3k vs 65.9k rays/s on v5e), fused forward for
-    # forward-only eval/rendering (coarse-192: 91.7k vs 69.8k). "on"/
-    # "off" or a bool force both contexts. Resolve via
+    # context on TPU, which since round 3 is plain XLA for BOTH the
+    # train step (127.3k vs 72.2k rays/s at batch 256 on v5e) and
+    # full-frame eval rendering (386.7k vs 228.8k at tile 256) — see
+    # ops/pallas/__init__.py for the measurement history. "on"/"off"
+    # or a bool force both contexts. Resolve via
     # ops.pallas.pallas_enabled(cfg, context).
     use_pallas: object = "auto"
     # Pallas inverse-CDF resample kernel for hierarchical sampling
