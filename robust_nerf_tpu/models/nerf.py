@@ -153,21 +153,26 @@ def _matrelu_fwd(h, w, b, dtype):
     return out, (h, w, out, jnp.zeros((0,), b.dtype))
 
 
-def _matrelu_bwd(dtype, res, g):
-    h, w, out, b_tok = res
-    gm = jnp.where(out > 0, g.astype(jnp.float32), 0.0).astype(dtype)
+def _matrelu_bwd_math(mask, h, w, g, cdt, h_dtype, b_dtype):
+    """Shared backward for the fused matmul+ReLU VJPs: mask the upstream
+    grad with the ReLU mask, then dh = gm @ w.T, dw = h^T @ gm,
+    db = sum(gm) — all contracted in `cdt` with float32 accumulation."""
+    gm = jnp.where(mask, g.astype(jnp.float32), 0.0).astype(cdt)
     gm2 = gm.reshape(-1, gm.shape[-1])
-    h2 = h.reshape(-1, h.shape[-1]).astype(dtype)
+    h2 = h.reshape(-1, h.shape[-1]).astype(cdt)
     dh = jnp.dot(
-        gm2, w.astype(dtype).T, preferred_element_type=jnp.float32
-    ).reshape(g.shape[:-1] + (w.shape[0],)).astype(h.dtype)
+        gm2, w.astype(cdt).T, preferred_element_type=jnp.float32
+    ).reshape(g.shape[:-1] + (w.shape[0],)).astype(h_dtype)
     dw = jax.lax.dot_general(
         h2, gm2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(w.dtype)
-    db = jnp.sum(gm, axis=tuple(range(gm.ndim - 1)), dtype=jnp.float32).astype(
-        b_tok.dtype
-    )
+    db = jnp.sum(gm2, axis=0, dtype=jnp.float32).astype(b_dtype)
     return dh, dw, db
+
+
+def _matrelu_bwd(dtype, res, g):
+    h, w, out, b_tok = res
+    return _matrelu_bwd_math(out > 0, h, w, g, dtype, h.dtype, b_tok.dtype)
 
 
 _matrelu.defvjp(_matrelu_fwd, _matrelu_bwd)
@@ -195,18 +200,9 @@ def _matrelu_f8_fwd(h, w, b):
 
 def _matrelu_f8_bwd(res, g):
     h8, w, mask, h_tok, b_tok = res
-    cdt = jnp.bfloat16
-    h2 = h8.reshape(-1, h8.shape[-1]).astype(cdt)
-    gm = jnp.where(mask, g.astype(jnp.float32), 0.0)
-    gm2 = gm.reshape(-1, gm.shape[-1]).astype(cdt)
-    dh = jnp.dot(
-        gm2, w.astype(cdt).T, preferred_element_type=jnp.float32
-    ).reshape(g.shape[:-1] + (w.shape[0],)).astype(h_tok.dtype)
-    dw = jax.lax.dot_general(
-        h2, gm2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(w.dtype)
-    db = jnp.sum(gm2, axis=0, dtype=jnp.float32).astype(b_tok.dtype)
-    return dh, dw, db
+    return _matrelu_bwd_math(
+        mask, h8, w, g, jnp.bfloat16, h_tok.dtype, b_tok.dtype
+    )
 
 
 _matrelu_f8.defvjp(_matrelu_f8_fwd, _matrelu_f8_bwd)

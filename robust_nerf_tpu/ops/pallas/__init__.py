@@ -29,7 +29,11 @@ def pallas_enabled(tpu_cfg, context: str = "train") -> bool:
     """
     v = tpu_cfg.use_pallas
     if isinstance(v, str):
-        if v == "on":
-            return True
-        return False
+        if v not in ("on", "off", "auto"):
+            raise ValueError(
+                f"TPUConfig.use_pallas={v!r}: expected 'on', 'off', 'auto', "
+                "or a bool (a typo here would silently measure XLA twice "
+                "in a forced-kernel A/B)"
+            )
+        return v == "on"
     return bool(v)

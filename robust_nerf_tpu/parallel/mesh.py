@@ -71,13 +71,22 @@ def sync_string(s: str, max_len: int = 256) -> str:
     Experiment names embed a wall-clock timestamp
     (training.train.generate_experiment_name) which can differ across
     hosts; multihost-coordinated checkpoint writes (orbax) need every
-    process to agree on the output path."""
+    process to agree on the output path.
+
+    Strings longer than max_len UTF-8 bytes are truncated on a
+    character boundary — identically on single- and multi-process, so
+    the same config yields the same output dir either way."""
+    raw = s.encode("utf-8")
+    if len(raw) > max_len:
+        # Back off to a UTF-8 boundary so decode() can't see a split
+        # multi-byte character.
+        s = raw[:max_len].decode("utf-8", errors="ignore")
+        raw = s.encode("utf-8")
     if jax.process_count() == 1:
         return s
     from jax.experimental import multihost_utils
 
     buf = np.zeros(max_len, np.uint8)
-    raw = s.encode("utf-8")[:max_len]
     buf[: len(raw)] = np.frombuffer(raw, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     return bytes(out).rstrip(b"\x00").decode("utf-8")

@@ -354,8 +354,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "multi-process runs (coordinator from env)")
     parser.add_argument("--use_pallas", nargs="?", const="on", default="auto",
                         choices=["auto", "on", "off"],
-                        help="fused Pallas MLP kernels; default auto = on "
-                             "for the TPU backend (bare flag forces on)")
+                        help="fused Pallas MLP kernels; default auto = "
+                             "measured-fastest path per context, currently "
+                             "plain XLA for both train and eval "
+                             "(bare flag forces the kernels on)")
     parser.add_argument("--wedge_timeout", type=float, default=0.0,
                         help="seconds without dispatch progress before the "
                              "watchdog exits EX_TEMPFAIL(75) for a "

@@ -127,6 +127,10 @@ class CSVLogger:
                     on_disk = next(csv.reader(rf), None)
                 if on_disk != fieldnames:
                     rotated = path.with_suffix(".csv.old")
+                    n = 1
+                    while rotated.exists():  # never clobber prior rotations
+                        n += 1
+                        rotated = path.with_suffix(f".csv.old{n}")
                     path.replace(rotated)
                     print(
                         f"CSVLogger: {path.name} header changed on resume; "

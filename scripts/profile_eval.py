@@ -65,8 +65,11 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=400)
     p.add_argument("--tiles", type=int, nargs="+",
                    default=[256, 512, 1024, 2048, 4096, 8192])
-    p.add_argument("--pallas", nargs="+", default=["auto", "off"],
-                   help='policies to sweep ("auto" = fused eval forward)')
+    p.add_argument("--pallas", nargs="+", default=["on", "off"],
+                   help='policies to sweep: "on" = fused Pallas eval '
+                        'forward, "off" = plain XLA ("auto" resolves to '
+                        'XLA for eval since round 3, so sweeping it would '
+                        'just duplicate "off")')
     p.add_argument("--dtype", nargs="+", default=["bfloat16"],
                    help="compute dtypes to sweep (bfloat16 / float32)")
     p.add_argument("--reps", type=int, default=5)

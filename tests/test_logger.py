@@ -74,6 +74,28 @@ class TestCSVLogger:
         assert len(rows) == 1
         assert (tmp_path / "m.csv.old").exists()
 
+    def test_second_mismatched_resume_keeps_first_rotation(self, tmp_path):
+        """A second header-mismatched resume must not clobber the
+        previously rotated history (unique .old/.old2/... names)."""
+        log = CSVLogger(tmp_path, flush_every=1)
+        log.log_row("m", {"iteration": 0, "loss": 0.5})
+        log.close()
+        log2 = CSVLogger(tmp_path, flush_every=1, append=True)
+        log2.log_row("m", {"iteration": 1, "psnr": 22.0})
+        log2.close()
+        log3 = CSVLogger(tmp_path, flush_every=1, append=True)
+        log3.log_row("m", {"iteration": 2, "ssim": 0.9})
+        log3.close()
+        with open(tmp_path / "m.csv.old") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["iteration"] for r in rows] == ["0"]  # run A preserved
+        with open(tmp_path / "m.csv.old2") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["iteration"] for r in rows] == ["1"]  # run B preserved
+        with open(tmp_path / "m.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert list(rows[0].keys()) == ["iteration", "ssim"]
+
 
 class TestExperimentLogger:
     def test_layout(self, tmp_path):

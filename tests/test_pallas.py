@@ -270,3 +270,27 @@ class TestGradParity:
             np.asarray(gd_p), np.asarray(gd_x), atol=5e-4,
             err_msg="d_dirs (store mode)",
         )
+
+
+class TestPolicyResolution:
+    """pallas_enabled must reject unknown string policies: tests and
+    benches construct TPUConfig programmatically (bypassing the CLIs'
+    choices= validation), and a typo like "On" silently resolving to the
+    XLA path would make a forced-kernel A/B measure XLA twice."""
+
+    def test_known_values(self):
+        from robust_nerf_tpu.config import TPUConfig
+        from robust_nerf_tpu.ops.pallas import pallas_enabled
+
+        assert pallas_enabled(TPUConfig(use_pallas="on")) is True
+        assert pallas_enabled(TPUConfig(use_pallas="off")) is False
+        assert pallas_enabled(TPUConfig(use_pallas="auto")) is False
+        assert pallas_enabled(TPUConfig(use_pallas=True)) is True
+        assert pallas_enabled(TPUConfig(use_pallas=False)) is False
+
+    def test_unknown_string_raises(self):
+        from robust_nerf_tpu.config import TPUConfig
+        from robust_nerf_tpu.ops.pallas import pallas_enabled
+
+        with pytest.raises(ValueError, match="use_pallas"):
+            pallas_enabled(TPUConfig(use_pallas="On"))

@@ -254,3 +254,22 @@ class TestExplicitCollectives:
             out_specs=P(),
         )(w, x, y)
         np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_shard), rtol=1e-5)
+
+
+class TestSyncString:
+    """sync_string truncation must happen on a UTF-8 character boundary
+    and identically on the single-process early-return path, so the same
+    config yields the same output dir at any process count."""
+
+    def test_short_ascii_roundtrip(self):
+        from robust_nerf_tpu.parallel.mesh import sync_string
+
+        assert sync_string("lego_noisy_20260818") == "lego_noisy_20260818"
+
+    def test_long_multibyte_truncates_on_char_boundary(self):
+        from robust_nerf_tpu.parallel.mesh import sync_string
+
+        s = "é" * 200  # 400 UTF-8 bytes; byte 256 falls mid-character
+        out = sync_string(s, max_len=256)
+        assert out == "é" * 128
+        assert len(out.encode("utf-8")) <= 256
