@@ -181,6 +181,49 @@ def create_spiral_poses(
     return np.stack(poses, axis=0)
 
 
+def create_spiral_path_poses(
+    center,
+    radius: float,
+    height_range: Tuple[float, float],
+    num_frames: int,
+    num_rotations: float = 2.0,
+    focal_point=None,
+) -> np.ndarray:
+    """Height-varying spiral of look-at camera poses, (num_frames, 4, 4).
+
+    Behavioral parity with the reference's *second* spiral helper
+    (noisy_src/utils.py:124-192): positions orbit `center` at `radius` in
+    the XY plane while Z sweeps linearly through `height_range`, each pose
+    looking at `focal_point` (default: `center`) with world +Z up. Unlike
+    the reference's per-frame Python loop, all frames are built in one
+    vectorized numpy pass.
+    """
+    center = np.asarray(center, dtype=np.float32)
+    focal = center if focal_point is None else np.asarray(focal_point, np.float32)
+    t = np.arange(num_frames, dtype=np.float32) / num_frames
+    theta = 2.0 * np.pi * num_rotations * t
+    position = np.stack(
+        [
+            center[0] + radius * np.cos(theta),
+            center[1] + radius * np.sin(theta),
+            height_range[0] + (height_range[1] - height_range[0]) * t,
+        ],
+        axis=-1,
+    )  # (N, 3)
+    forward = focal[None, :] - position
+    forward /= np.linalg.norm(forward, axis=-1, keepdims=True)
+    world_up = np.array([0.0, 0.0, 1.0], dtype=np.float32)
+    right = np.cross(forward, np.broadcast_to(world_up, forward.shape))
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    up = np.cross(right, forward)
+    c2w = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
+    c2w[:, :3, 0] = right
+    c2w[:, :3, 1] = up
+    c2w[:, :3, 2] = -forward
+    c2w[:, :3, 3] = position
+    return c2w
+
+
 def render_video(
     models,
     cfg: NeRFConfig,

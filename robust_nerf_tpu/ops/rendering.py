@@ -197,17 +197,21 @@ def render_rays_chunked(
     }
 
 
+def _eval_apply_fn(tpu_cfg):
+    from .pallas import pallas_enabled
+
+    if pallas_enabled(tpu_cfg, context="eval"):
+        from .pallas.fused_mlp import nerf_apply_fused
+
+        return nerf_apply_fused
+    return nerf_apply
+
+
 @partial(jax.jit, static_argnames=("H", "W", "render_cfg", "model_cfg", "tpu_cfg"))
 def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg):
     from ..core.rays import get_ray_directions, get_rays
 
-    from .pallas import pallas_enabled
-
-    apply_fn = nerf_apply
-    if pallas_enabled(tpu_cfg, context="eval"):
-        from .pallas.fused_mlp import nerf_apply_fused
-
-        apply_fn = nerf_apply_fused
+    apply_fn = _eval_apply_fn(tpu_cfg)
     directions = get_ray_directions(H, W, focal)
     rays_o, rays_d = get_rays(directions, pose)
     out = render_rays_chunked(
@@ -231,6 +235,68 @@ def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg)
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=("H", "W", "render_cfg", "model_cfg", "tpu_cfg", "mesh"),
+)
+def _render_image_sharded_jit(
+    models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg, mesh
+):
+    """Frame render SPMD-sharded over the mesh's data axis.
+
+    The reference renders eval frames on its one device
+    (noisy_src/train.py:122-160); here the H*W rays are split across all
+    chips via shard_map (rays are embarrassingly parallel, params are
+    replicated) so full-frame eval/serving scales ~linearly with mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.rays import get_ray_directions, get_rays
+    from ..parallel.mesh import DATA_AXIS, pad_to_multiple
+
+    apply_fn = _eval_apply_fn(tpu_cfg)
+    directions = get_ray_directions(H, W, focal)
+    rays_o, rays_d = get_rays(directions, pose)
+    n = H * W
+    n_dev = int(mesh.devices.size)
+    tile = min(tpu_cfg.eval_tile, max(n // n_dev, 1))
+    # pad so every device gets a tile-aligned slice of rays
+    n_pad = pad_to_multiple(n, n_dev * tile)
+    ro = jnp.pad(rays_o.reshape(-1, 3), ((0, n_pad - n), (0, 0)))
+    rd = jnp.pad(
+        rays_d.reshape(-1, 3), ((0, n_pad - n), (0, 0)), constant_values=1.0
+    )
+
+    def render_local(models_l, ro_l, rd_l):
+        return render_rays_chunked(
+            models_l, ro_l, rd_l, None, render_cfg, model_cfg,
+            is_train=False,
+            compute_dtype=jnp.dtype(tpu_cfg.compute_dtype),
+            tile=tile, apply_fn=apply_fn,
+            fused_resample=resolve_fused_resample(tpu_cfg.fused_resample),
+        )
+
+    out = jax.shard_map(
+        render_local, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )(models, ro, rd)
+    which = "fine" if "rgb_fine" in out else "coarse"
+    # gather the (small) frame to replicated so hosts can fetch it even
+    # when the mesh spans multiple processes
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    return {
+        k: jax.lax.with_sharding_constraint(v[:n].reshape(shp), rep)
+        for k, v, shp in (
+            ("rgb", out[f"rgb_{which}"], (H, W, 3)),
+            ("depth", out[f"depth_{which}"], (H, W)),
+            ("acc", out[f"acc_{which}"], (H, W)),
+        )
+    }
+
+
 def render_image(
     models,
     pose: jnp.ndarray,
@@ -240,15 +306,23 @@ def render_image(
     render_cfg: RenderConfig,
     model_cfg: ModelConfig,
     tpu_cfg: Optional[TPUConfig] = None,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a full H x W frame from one pose (eval path).
 
     Reference semantics: noisy_src/train.py:122-160, but jit-compiled once
     per (H, W, config) and tiled on-device instead of Python-chunked.
+    With `mesh` (>1 device), rays are sharded across the data axis and the
+    frame renders D-way parallel (models must be replicated on the mesh).
     """
     if tpu_cfg is None:
         tpu_cfg = TPUConfig()
     pose = jnp.asarray(pose, jnp.float32)
+    if mesh is not None and int(mesh.devices.size) > 1:
+        return _render_image_sharded_jit(
+            models, pose, H, W, float(focal), render_cfg, model_cfg,
+            tpu_cfg, mesh,
+        )
     return _render_image_jit(
         models, pose, H, W, float(focal), render_cfg, model_cfg, tpu_cfg
     )

@@ -25,11 +25,14 @@ def evaluate(
     num_images: int = 5,
     lpips_metric: Optional[LPIPSMetric] = None,
     poses=None,
+    mesh=None,
 ) -> ValidationMetrics:
     """Render `num_images` validation frames and aggregate metrics.
 
     `poses` overrides the scene's poses (pose-opt evaluates with GT val
-    poses, reference train_pose_opt.py:473-545).
+    poses, reference train_pose_opt.py:473-545). With `mesh` (>1 device)
+    each frame's rays are sharded over the mesh's data axis so validation
+    rendering scales with the pod instead of serializing on one chip.
     """
     if poses is None:
         poses = val_scene.poses
@@ -39,7 +42,7 @@ def evaluate(
     for i in range(n):
         out = render_image(
             models, poses[i], val_scene.H, val_scene.W, val_scene.focal,
-            cfg.render, cfg.model, cfg.tpu,
+            cfg.render, cfg.model, cfg.tpu, mesh=mesh,
         )
         pred = np.asarray(out["rgb"])
         target = np.asarray(val_scene.images[i])

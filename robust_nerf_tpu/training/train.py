@@ -221,7 +221,7 @@ def train(
             # spans the global mesh, so on multihost runs all processes
             # must participate. Logging/saving stays primary-only.
             val = evaluate(state.models, val_scene, logger, i, cfg,
-                           lpips_metric=lpips_metric)
+                           lpips_metric=lpips_metric, mesh=mesh)
             # best tracking on EVERY process: val is computed identically
             # everywhere, and multihost orbax saves need all processes to
             # agree on is_best (it selects the pointer update)
@@ -250,6 +250,7 @@ def train(
     val = evaluate(
         state.models, val_scene, logger, total, cfg,
         num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
+        mesh=mesh,
     )
     is_best = val.psnr > best_psnr
     if logger is not None or save_on_all:

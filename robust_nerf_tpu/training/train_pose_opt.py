@@ -244,7 +244,7 @@ def train_with_pose_optimization(
             errs = _pose_error_stats(cur, gt_poses_j)
             val = evaluate(
                 state.models, val_scene, logger, i, cfg,
-                lpips_metric=lpips_metric,
+                lpips_metric=lpips_metric, mesh=mesh,
             )
             # best tracking on EVERY process (multihost orbax saves need
             # all processes to agree on is_best)
@@ -298,6 +298,7 @@ def train_with_pose_optimization(
     val = evaluate(
         state.models, val_scene, logger, total, cfg,
         num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,
+        mesh=mesh,
     )
     if logger is not None or save_on_all:
         _save_ckpt(

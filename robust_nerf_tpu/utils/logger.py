@@ -172,12 +172,18 @@ class CSVLogger:
         self._writers.clear()
 
 
-def depth_to_colormap(depth: np.ndarray) -> np.ndarray:
+def depth_to_colormap(depth: np.ndarray, near=None, far=None) -> np.ndarray:
     """Turbo-like depth colormap (reference: noisy_src/logger.py:289-300).
-    Returns (H, W, 3) uint8-range float in [0, 1]."""
+    Returns (H, W, 3) uint8-range float in [0, 1].
+
+    `near`/`far` optionally fix the normalization range (reference:
+    noisy_src/utils.py:80-121 exposes the same knobs) — useful for
+    cross-frame-consistent video colormaps; default is per-frame min/max.
+    """
     d = np.asarray(depth, dtype=np.float32)
-    lo, hi = float(d.min()), float(d.max())
-    norm = (d - lo) / (hi - lo + 1e-8)
+    lo = float(d.min()) if near is None else float(near)
+    hi = float(d.max()) if far is None else float(far)
+    norm = np.clip((d - lo) / (hi - lo + 1e-8), 0.0, 1.0)
     r = np.clip(1.5 - np.abs(4.0 * norm - 3.0), 0.0, 1.0)
     g = np.clip(1.5 - np.abs(4.0 * norm - 2.0), 0.0, 1.0)
     b = np.clip(1.5 - np.abs(4.0 * norm - 1.0), 0.0, 1.0)

@@ -122,3 +122,61 @@ def test_create_data_loaders():
     batch = sampler.sample_batch()
     assert batch["target_rgb"].shape == (32, 3)
     assert val.images.shape[0] == 2
+
+
+def test_utils_module_surface():
+    """The reference's utils module (noisy_src/utils.py:13-252) imports."""
+    from noisy_src.utils import (  # noqa: F401
+        AverageMeter,
+        EarlyStopping,
+        compute_psnr,
+        compute_ssim,
+        create_spiral_poses,
+        depth_to_colormap,
+    )
+
+
+def test_utils_spiral_path_geometry():
+    """Spiral variant: orbit radius, height sweep, orthonormal look-at
+    frames (reference: noisy_src/utils.py:124-192)."""
+    from noisy_src.utils import create_spiral_poses
+
+    center = np.array([1.0, -2.0, 0.5], dtype=np.float32)
+    poses = create_spiral_poses(
+        center, radius=3.0, height_range=(-1.0, 2.0), num_frames=16,
+        num_rotations=1.5,
+    )
+    assert poses.shape == (16, 4, 4)
+    # XY positions stay on the radius-3 circle around center
+    xy = poses[:, :2, 3] - center[None, :2]
+    np.testing.assert_allclose(np.linalg.norm(xy, axis=-1), 3.0, rtol=1e-5)
+    # Z sweeps height_range linearly: first frame at -1, step 3/16
+    np.testing.assert_allclose(
+        poses[:, 2, 3], -1.0 + 3.0 * np.arange(16) / 16.0, atol=1e-5
+    )
+    # rotation blocks are right-handed orthonormal frames
+    R = poses[:, :3, :3]
+    eye = np.tile(np.eye(3, dtype=np.float32), (16, 1, 1))
+    np.testing.assert_allclose(R @ np.transpose(R, (0, 2, 1)), eye, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+    # -Z camera axis (OpenGL forward) points from position toward the center
+    to_center = center[None, :] - poses[:, :3, 3]
+    to_center /= np.linalg.norm(to_center, axis=-1, keepdims=True)
+    np.testing.assert_allclose(-poses[:, :3, 2], to_center, atol=1e-5)
+
+
+def test_utils_depth_colormap_near_far():
+    from noisy_src.utils import depth_to_colormap
+
+    depth = np.linspace(0.0, 10.0, 64, dtype=np.float32).reshape(8, 8)
+    # fixed-range normalization clips outside [near, far] and is
+    # insensitive to per-frame extremes, unlike the min/max default
+    fixed = depth_to_colormap(depth, near=2.0, far=6.0)
+    assert fixed.shape == (8, 8, 3)
+    assert fixed.min() >= 0.0 and fixed.max() <= 1.0
+    wider = depth_to_colormap(np.concatenate([depth, depth + 100.0]), near=2.0,
+                              far=6.0)
+    np.testing.assert_allclose(wider[:8], fixed, atol=0)
+    # default path unchanged: per-frame min/max
+    auto = depth_to_colormap(depth)
+    assert auto.shape == (8, 8, 3)

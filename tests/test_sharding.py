@@ -273,3 +273,50 @@ class TestSyncString:
         out = sync_string(s, max_len=256)
         assert out == "é" * 128
         assert len(out.encode("utf-8")) <= 256
+
+
+class TestShardedFrameRender:
+    """render_image(mesh=...) must equal the single-device frame render:
+    rays are embarrassingly parallel, so sharding the pixel axis over the
+    mesh cannot change the image."""
+
+    def test_sharded_frame_matches_single(self):
+        from robust_nerf_tpu.config import ModelConfig, RenderConfig, TPUConfig
+        from robust_nerf_tpu.models.nerf import create_nerf
+        from robust_nerf_tpu.ops.rendering import render_image
+
+        mcfg = ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
+                           num_hidden_layers=2, skips=(1,))
+        rcfg = RenderConfig(num_samples=8, num_samples_fine=8)
+        models = create_nerf(jax.random.PRNGKey(0), mcfg)
+        pose = jnp.eye(4).at[:3, 3].set(jnp.array([0.0, 0.0, 4.0]))
+        tpu = TPUConfig(eval_tile=64)
+        mesh = create_mesh(num_devices=8)
+        single = render_image(models, pose, 20, 20, 25.0, rcfg, mcfg, tpu)
+        sharded = render_image(models, pose, 20, 20, 25.0, rcfg, mcfg, tpu,
+                               mesh=mesh)
+        for k in ("rgb", "depth", "acc"):
+            assert sharded[k].shape == single[k].shape
+            np.testing.assert_allclose(
+                np.asarray(single[k]), np.asarray(sharded[k]), atol=1e-5
+            )
+
+    def test_sharded_frame_unaligned_pixels(self):
+        """H*W=15*17=255 not divisible by 8 devices: padding must not leak."""
+        from robust_nerf_tpu.config import ModelConfig, RenderConfig, TPUConfig
+        from robust_nerf_tpu.models.nerf import create_nerf
+        from robust_nerf_tpu.ops.rendering import render_image
+
+        mcfg = ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
+                           num_hidden_layers=2, skips=(1,))
+        rcfg = RenderConfig(num_samples=8, num_samples_fine=8)
+        models = create_nerf(jax.random.PRNGKey(1), mcfg)
+        pose = jnp.eye(4).at[:3, 3].set(jnp.array([0.5, -0.5, 4.0]))
+        tpu = TPUConfig(eval_tile=32)
+        mesh = create_mesh(num_devices=8)
+        single = render_image(models, pose, 15, 17, 25.0, rcfg, mcfg, tpu)
+        sharded = render_image(models, pose, 15, 17, 25.0, rcfg, mcfg, tpu,
+                               mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(single["rgb"]), np.asarray(sharded["rgb"]), atol=1e-5
+        )
