@@ -273,7 +273,7 @@ def train(
 
 def build_config_from_args(args) -> NeRFConfig:
     return NeRFConfig(
-        model=ModelConfig(),
+        model=ModelConfig(sigma_activation=args.sigma_activation),
         render=RenderConfig(
             num_samples=args.num_samples,
             num_samples_fine=args.num_samples_fine,
@@ -343,6 +343,12 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="procedural-scene image resolution")
     parser.add_argument("--synthetic_textured", action="store_true",
                         help="texture the procedural scene's albedo")
+    parser.add_argument("--sigma_activation", type=str, default="softplus",
+                        choices=("softplus", "relu"),
+                        help="density activation: softplus (default, "
+                             "smoother pose gradients) or relu (strict "
+                             "reference numerics; use when resuming a "
+                             "checkpoint imported from the reference)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--steps_per_scan", type=int, default=100)
