@@ -20,6 +20,11 @@ Three checks, strictly stronger than a liveness smoke:
    semantic drift vs the already-validated single-process sharded path,
    which tests/test_sharding.py ties to the 1-device path).
 
+All three checks run for BOTH step types: standard training AND the joint
+pose-opt step, whose per-image SE(3) pose gradients are the one
+cross-shard-coupled quantity (SURVEY.md §5.7) and therefore the part
+multi-process psum must get right.
+
 Run: python scripts/multihost_smoke.py            (parent; spawns 2 workers
      + 1 single-process control) — each worker gets 4 virtual CPU devices
      -> 8 global devices. Prints MULTIHOST_SMOKE_OK and MULTIHOST_EQUIV_OK
@@ -54,23 +59,31 @@ def _force_cpu(num_devices: int) -> None:
     jax.config.update("jax_num_cpu_devices", num_devices)
 
 
-def _run_trajectory():
+def _run_trajectory(mode: str = "train"):
     """Train NUM_CHUNKS scan-chunks on the global mesh; return the
     per-chunk mean-loss list and the final state. Identical config/data/
-    seed regardless of process topology, so trajectories are comparable."""
+    seed regardless of process topology, so trajectories are comparable.
+
+    mode="pose_opt" runs the joint NeRF+SE(3) step instead: per-image pose
+    gradients are the one cross-shard-coupled quantity (SURVEY.md §5.7), so
+    they are exactly what multi-process psum must get right."""
     import jax
     import numpy as np
 
     sys.path.insert(0, str(REPO))
     from robust_nerf_tpu.config import (
-        DataConfig, ModelConfig, NeRFConfig, RenderConfig, TPUConfig,
-        TrainConfig,
+        DataConfig, ModelConfig, NeRFConfig, PoseOptConfig, RenderConfig,
+        TPUConfig, TrainConfig,
     )
-    from robust_nerf_tpu.data.banks import build_ray_bank
+    from robust_nerf_tpu.core.noise import NoiseConfig, add_noise_to_poses
+    from robust_nerf_tpu.data.banks import build_pixel_bank, build_ray_bank
     from robust_nerf_tpu.data.synthetic import make_synthetic_scene
     from robust_nerf_tpu.parallel.mesh import create_mesh, replicate
     from robust_nerf_tpu.training.steps import (
-        create_train_state, make_train_chunk,
+        create_pose_opt_state,
+        create_train_state,
+        make_pose_opt_chunk,
+        make_train_chunk,
     )
 
     cfg = NeRFConfig(
@@ -79,17 +92,32 @@ def _run_trajectory():
         render=RenderConfig(num_samples=8, num_samples_fine=8),
         data=DataConfig(batch_size=16 * jax.device_count(), source="synthetic"),
         train=TrainConfig(seed=0),
+        pose_opt=PoseOptConfig(pose_lr=1e-3, pose_opt_delay=0,
+                               rotation_reg_weight=0.0,
+                               translation_reg_weight=0.0),
         tpu=TPUConfig(steps_per_scan=5),
     )
     # identical host-side data on every process (the banks path); the mesh
     # spans all global devices
     scene = make_synthetic_scene(num_images=4, resolution=16, num_samples=32)
-    bank, _, _ = build_ray_bank(scene)
     mesh = create_mesh()
-    state = replicate(create_train_state(jax.random.PRNGKey(0), cfg), mesh)
-    bank = replicate(bank, mesh)
+    if mode == "pose_opt":
+        noisy_poses, _ = add_noise_to_poses(
+            np.asarray(scene.poses),
+            NoiseConfig(rotation_noise_deg=2.0, seed=3),
+        )
+        bank = replicate(build_pixel_bank(scene), mesh)
+        state = replicate(
+            create_pose_opt_state(jax.random.PRNGKey(0), cfg, noisy_poses),
+            mesh,
+        )
+        chunk = make_pose_opt_chunk(cfg, mesh=mesh, steps=5)
+    else:
+        bank, _, _ = build_ray_bank(scene)
+        bank = replicate(bank, mesh)
+        state = replicate(create_train_state(jax.random.PRNGKey(0), cfg), mesh)
+        chunk = make_train_chunk(cfg, mesh=mesh, steps=5)
 
-    chunk = make_train_chunk(cfg, mesh=mesh, steps=5)
     losses = []
     for i in range(NUM_CHUNKS):
         state, metrics = chunk(state, bank, jax.random.PRNGKey(1 + i))
@@ -120,26 +148,40 @@ def worker(process_id: int) -> None:
     assert jax.process_count() == NUM_PROCS
     assert jax.device_count() == NUM_PROCS * LOCAL_DEVICES
 
+    from jax.experimental import multihost_utils
+
+    def replication_checksum(state):
+        # every process must hold identical replicated state after psum'd
+        # updates — compare a checksum of models (+ pose deltas) across
+        # processes
+        checksum = jnp.zeros(())
+        leaves = jax.tree_util.tree_leaves(state.models)
+        if hasattr(state, "pose_params"):
+            leaves += jax.tree_util.tree_leaves(state.pose_params)
+        for leaf in leaves:
+            checksum = checksum + jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+        gathered = np.asarray(
+            multihost_utils.process_allgather(jax.device_get(checksum))
+        )
+        assert np.allclose(gathered, gathered[0], rtol=1e-6), gathered
+        return gathered
+
     losses, state = _run_trajectory()
 
     # convergence: 100 iterations must actually optimize, not just run
     # (measured ratio ~0.49 at this tiny config; 0.7 leaves safety margin)
     assert losses[-1] < 0.7 * losses[0], losses
+    gathered = replication_checksum(state)
 
-    # every process must hold the identical replicated model after psum'd
-    # updates — compare a parameter checksum across processes
-    checksum = jnp.zeros(())
-    for leaf in jax.tree_util.tree_leaves(state.models):
-        checksum = checksum + jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
-    from jax.experimental import multihost_utils
-
-    gathered = np.asarray(
-        multihost_utils.process_allgather(jax.device_get(checksum))
-    )
-    assert np.allclose(gathered, gathered[0], rtol=1e-6), gathered
+    # the joint pose-opt step: per-image pose grads psum across processes
+    po_losses, po_state = _run_trajectory(mode="pose_opt")
+    assert po_losses[-1] < 0.7 * po_losses[0], po_losses
+    replication_checksum(po_state)
 
     if is_primary_host():
         print("MULTIHOST_TRAJECTORY " + json.dumps(losses), flush=True)
+        print("MULTIHOST_POSEOPT_TRAJECTORY " + json.dumps(po_losses),
+              flush=True)
         print(
             f"MULTIHOST_SMOKE_OK procs={jax.process_count()} "
             f"devices={jax.device_count()} loss_first={losses[0]:.5f} "
@@ -159,6 +201,8 @@ def single_control() -> None:
     assert jax.device_count() == NUM_PROCS * LOCAL_DEVICES
     losses, _ = _run_trajectory()
     print("SINGLE_TRAJECTORY " + json.dumps(losses), flush=True)
+    po_losses, _ = _run_trajectory(mode="pose_opt")
+    print("SINGLE_POSEOPT_TRAJECTORY " + json.dumps(po_losses), flush=True)
 
 
 def _extract(out: str, tag: str):
@@ -207,35 +251,40 @@ def main() -> int:
             print([l for l in out.splitlines()
                    if "MULTIHOST_SMOKE_OK" in l][0])
             multi_traj = _extract(out, "MULTIHOST_TRAJECTORY")
+            multi_po = _extract(out, "MULTIHOST_POSEOPT_TRAJECTORY")
 
     out, _ = control.communicate(timeout=900)
     single_traj = _extract(out, "SINGLE_TRAJECTORY")
+    single_po = _extract(out, "SINGLE_POSEOPT_TRAJECTORY")
     if control.returncode != 0 or single_traj is None:
         ok = False
         print(f"--- single control FAILED (rc={control.returncode}) ---")
         print("\n".join(out.strip().splitlines()[-15:]))
 
-    if ok and multi_traj is not None and single_traj is not None:
+    def compare(tag, multi, single):
         import numpy as np
 
-        a = np.asarray(multi_traj)
-        b = np.asarray(single_traj)
+        if multi is None or single is None:
+            print(f"{tag}_FAIL missing trajectories")
+            return False
+        a, b = np.asarray(multi), np.asarray(single)
         # gloo vs local collectives may reassociate reductions -> tiny FP
         # drift compounding over 100 iters; the trajectories must still
         # agree closely chunk-for-chunk
         if np.allclose(a, b, rtol=2e-3, atol=1e-6):
             print(
-                "MULTIHOST_EQUIV_OK max_rel_diff="
+                f"{tag}_OK max_rel_diff="
                 f"{float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-12))):.2e}"
             )
-        else:
-            ok = False
-            print("MULTIHOST_EQUIV_FAIL")
-            print("multi :", a.tolist())
-            print("single:", b.tolist())
-    elif ok:
-        ok = False
-        print("MULTIHOST_EQUIV_FAIL missing trajectories")
+            return True
+        print(f"{tag}_FAIL")
+        print("multi :", a.tolist())
+        print("single:", b.tolist())
+        return False
+
+    if ok:
+        ok = compare("MULTIHOST_EQUIV", multi_traj, single_traj) and ok
+        ok = compare("MULTIHOST_POSEOPT_EQUIV", multi_po, single_po) and ok
     return 0 if ok else 1
 
 

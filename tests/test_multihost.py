@@ -26,5 +26,8 @@ def test_two_process_training_smoke():
     # liveness + replication (asserted inside the workers)
     assert "MULTIHOST_SMOKE_OK procs=2 devices=8" in result.stdout
     # 100-iteration convergence + trajectory equivalence vs the
-    # single-process 8-device control (asserted by the parent)
+    # single-process 8-device control (asserted by the parent), for BOTH
+    # the standard and the joint pose-opt step (cross-process pose-grad
+    # psum)
     assert "MULTIHOST_EQUIV_OK" in result.stdout
+    assert "MULTIHOST_POSEOPT_EQUIV_OK" in result.stdout
