@@ -14,6 +14,7 @@ inference.py:338-343) — fixed: `radius` is honored, defaulting to 4.0.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import subprocess
 import time
@@ -310,6 +311,10 @@ def main(argv=None):
     parser.add_argument("--no_save_images", action="store_true")
     parser.add_argument("--image_idx", type=int, default=0,
                         help="--mode single: which image to render")
+    parser.add_argument("--chunk_size", type=int, default=None,
+                        help="rays per render tile (reference inference.py:502"
+                             " --chunk_size; maps to TPUConfig.eval_tile —"
+                             " default keeps the checkpoint's tile, 256)")
     # video options
     parser.add_argument("--n_frames", type=int, default=120)
     parser.add_argument("--fps", type=int, default=30)
@@ -329,6 +334,8 @@ def main(argv=None):
         cfg.data.data_root = Path(args.data_root)
     if args.data_source:
         cfg.data.source = args.data_source
+    if args.chunk_size:
+        cfg.tpu = dataclasses.replace(cfg.tpu, eval_tile=args.chunk_size)
 
     noise_config = NoiseConfig(
         rotation_noise_deg=args.rotation_noise,

@@ -12,6 +12,7 @@ model threads through jit/grad/shard_map; matmuls are MXU-shaped
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -21,6 +22,10 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 
 Params = Dict[str, jnp.ndarray]
+
+# A/B knob: evaluate the sigma and feature heads as ONE concatenated matmul
+# (same math; saves one dispatch + one read of the trunk output per eval).
+_FUSE_HEADS = os.environ.get("ROBUST_NERF_FUSE_HEADS", "0") == "1"
 
 
 def freq_anneal_weights(num_freqs: int, alpha) -> jnp.ndarray:
@@ -239,13 +244,29 @@ def nerf_apply(
         if i in cfg.skips:
             h = jnp.concatenate([x_enc, h], axis=-1)
 
-    raw_sigma = _matmul(h, params["sigma_w"], params["sigma_b"], compute_dtype)
-    raw_sigma = raw_sigma.astype(jnp.float32)
+    if _FUSE_HEADS:
+        # One (H, 1+hidden) matmul instead of separate sigma/feat heads:
+        # identical math (concat on the N dim), one fewer read of `h` and
+        # one fewer dispatch. MXU padded-tile count is unchanged
+        # (1+256 -> 3 x 128-lane tiles = 1 + 2), so this targets dispatch/
+        # bandwidth overhead only — A/B knob, see DESIGN.md ledger.
+        sf = _matmul(
+            h,
+            jnp.concatenate([params["sigma_w"], params["feat_w"]], axis=1),
+            jnp.concatenate([params["sigma_b"], params["feat_b"]], axis=0),
+            compute_dtype,
+        )
+        raw_sigma = sf[..., :1].astype(jnp.float32)
+        feats = sf[..., 1:]
+    else:
+        raw_sigma = _matmul(
+            h, params["sigma_w"], params["sigma_b"], compute_dtype
+        ).astype(jnp.float32)
+        feats = _matmul(h, params["feat_w"], params["feat_b"], compute_dtype)
     if cfg.sigma_activation == "softplus":
         sigma = jax.nn.softplus(raw_sigma)
     else:
         sigma = jax.nn.relu(raw_sigma)
-    feats = _matmul(h, params["feat_w"], params["feat_b"], compute_dtype)
 
     if cfg.use_view_dirs and viewdirs is not None:
         alpha_dir = (

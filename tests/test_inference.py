@@ -154,3 +154,23 @@ class TestRenderVideo:
         a = np.asarray(Image.open(tmp_path / "clean" / "frames" / "frame_0000.png"))
         b = np.asarray(Image.open(tmp_path / "noisy" / "frames" / "frame_0000.png"))
         assert not np.array_equal(a, b)
+
+
+class TestInferenceCLI:
+    def test_chunk_size_flag(self, trained_run, tmp_path):
+        """--chunk_size (reference inference.py:502) overrides the render
+        tile; the rendered image must be identical to the default tile
+        (tiling is a pure performance knob)."""
+        from PIL import Image
+
+        from robust_nerf_tpu.evalx.inference import main as infer_main
+
+        for name, extra in [("default", []), ("tiled", ["--chunk_size", "64"])]:
+            infer_main([
+                "--checkpoint", str(trained_run),
+                "--mode", "single", "--split", "val", "--image_idx", "0",
+                "--output_dir", str(tmp_path / name), *extra,
+            ])
+        a = np.asarray(Image.open(tmp_path / "default" / "single_000_pred.png"))
+        b = np.asarray(Image.open(tmp_path / "tiled" / "single_000_pred.png"))
+        np.testing.assert_array_equal(a, b)
