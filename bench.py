@@ -8,20 +8,24 @@ counts and model sizes are identical, so throughput is comparable).
 
 Prints the headline JSON line LAST (the driver records the final line):
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N / 9600, "batch_size": 256}
+   "vs_baseline": N / 9600, "batch_size": 4096}
 vs_baseline compares against the reference's measured ~9.6k rays/s
 (BASELINE.md: outputs/lego_clean_*/logs/train_metrics.csv median). The
-headline batch is 256 — the measured per-ray-cost sweet spot on v5e
-(DESIGN.md round-3 sweep + roofline: 127.0k rays/s at 256 = 58.6% of the
-bf16 MXU peak, vs 69.4k at 4096; XLA's bwd materialization overhead
-shrinks when per-layer working sets approach VMEM scale) — NOT the
-reference's 1024, so an iso-batch line is printed first:
+headline config is batch 4096 rendered as scanned 256-ray MICROBATCHES
+with one Adam update per batch (TPUConfig.microbatch, round 3): 256
+rays/step is the measured v5e per-ray sweet spot (DESIGN.md roofline —
+XLA's bwd materialization overhead shrinks at VMEM-scale working sets)
+and 16 accumulations per update amortize the optimizer, measuring ~137k
+rays/s vs 126.4k for plain batch 256 and 69.4k for a fused batch-4096
+step. Microbatching preserves exact batch semantics (mean-of-means
+grads, one update per batch — tests/test_microbatch.py), so an iso-batch
+line is also printed first at the reference's own batch 1024
+(noisy_src/config.py:46-56, microbatch 256, ~133k rays/s):
   {"metric": "train_rays_per_sec_iso_batch1024", ...}
-measured at the reference's own batch 1024 (noisy_src/config.py:46-56)
-for an apples-to-apples vs_baseline. Both lines chunk scan steps to
-~204.8k rays per host round-trip (steps_per_scan = 204800/batch, a
-production knob — the train CLIs accept --steps_per_scan) so the
-dispatch overhead per ray is equalized across batch sizes.
+Both lines chunk scan steps to ~204.8k rays per host round-trip
+(steps_per_scan = 204800/batch, a production knob — the train CLIs
+accept --steps_per_scan) so dispatch overhead per ray is equalized
+across batch sizes.
 
 BENCH_MODE=pose_opt instead measures the joint pose-optimization step and
 prints {"metric": "pose_opt_rays_per_sec", ..., "vs_baseline": N / 4520}
@@ -40,9 +44,12 @@ REFERENCE_RAYS_PER_SEC = 9600.0   # BASELINE.md standard-path median
 REFERENCE_POSE_OPT_RAYS_PER_SEC = 4520.0   # BASELINE.md pose-opt-path median
 
 
-def measure(batch: int, scan: int, scene, on_accel: bool):
+def measure(batch: int, scan: int, scene, on_accel: bool,
+            microbatch: int | None = None):
     """Compile + run the configured step at `batch`; return (metric, rate,
-    ref) for one JSON line."""
+    ref) for one JSON line. `microbatch` (None = BENCH_MICROBATCH env, 0 =
+    off) renders the batch as scanned microbatches with ONE optimizer
+    update per batch — identical semantics, small-batch per-ray cost."""
     from robust_nerf_tpu.config import (
         DataConfig,
         ModelConfig,
@@ -72,6 +79,10 @@ def measure(batch: int, scan: int, scene, on_accel: bool):
             ),
             fused_resample=os.environ.get("BENCH_RESAMPLE", "auto"),
             f8_residuals=os.environ.get("BENCH_F8", "0") == "1",
+            microbatch=(
+                int(os.environ.get("BENCH_MICROBATCH", "0"))
+                if microbatch is None else microbatch
+            ),
         ),
     )
 
@@ -126,13 +137,17 @@ def main():
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
 
-    # Sweet-spot batch: per-ray cost FALLS as batch shrinks (XLA's bwd
-    # materialization overhead shrinks at VMEM-scale working sets);
-    # batch 256 is the measured v5e optimum (DESIGN.md round-3 roofline).
-    # Same optimizer semantics; scan chunking amortizes dispatch overhead.
+    # Batch 4096 rendered as scanned 256-ray microbatches with one Adam
+    # update per batch: 256 rays/step is the measured v5e per-ray sweet
+    # spot (XLA's bwd materialization overhead shrinks at VMEM-scale
+    # working sets — DESIGN.md roofline) and accumulating 16 microbatches
+    # per update amortizes the optimizer, saturating ~137k rays/s at
+    # batch 4096 (vs 126.4k for plain batch 256, 69.4k for fused batch
+    # 4096). Identical optimizer semantics to a fused step at the same
+    # batch (mean-of-means grads; tests/test_microbatch.py).
     # CPU fallback keeps small shapes so the bench still runs.
-    # BENCH_BATCH/BENCH_DTYPE/BENCH_REMAT env vars override for tuning runs.
-    batch = int(os.environ.get("BENCH_BATCH", 256 if on_accel else 512))
+    # BENCH_BATCH/BENCH_MICROBATCH/BENCH_DTYPE/BENCH_REMAT override.
+    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_accel else 512))
     scan = int(
         os.environ.get("BENCH_SCAN", max(1, 204800 // batch) if on_accel else 10)
     )
@@ -145,7 +160,9 @@ def main():
     # config.py:46-56 — so this vs_baseline is apples-to-apples). Skipped
     # when BENCH_BATCH is set explicitly (tuning runs) or on CPU fallback.
     if "BENCH_BATCH" not in os.environ and on_accel:
-        metric, value, ref = measure(1024, 204800 // 1024, scene, on_accel)
+        metric, value, ref = measure(
+            1024, 204800 // 1024, scene, on_accel, microbatch=256
+        )
         print(
             json.dumps(
                 {
@@ -159,8 +176,12 @@ def main():
             flush=True,
         )
 
-    # headline line LAST (driver records the final line)
-    metric, value, ref = measure(batch, scan, scene, on_accel)
+    # headline line LAST (driver records the final line). Microbatch 256
+    # by default on the accelerator (see sweet-spot note above); BENCH_
+    # MICROBATCH overrides, 0 disables.
+    mb_default = 256 if (on_accel and batch > 256 and batch % 256 == 0) else 0
+    mb = int(os.environ.get("BENCH_MICROBATCH", str(mb_default)))
+    metric, value, ref = measure(batch, scan, scene, on_accel, microbatch=mb)
     print(
         json.dumps(
             {

@@ -146,6 +146,18 @@ class TPUConfig:
     # resample" profile was misattributed. Kept as an option ("on"/"off";
     # "auto" = off) — revisit if batch sizes grow past VPU-bound regimes.
     fused_resample: str = "auto"
+    # Gradient accumulation: render/backprop the batch as scanned
+    # microbatches of this many rays, average the grads, and apply ONE
+    # optimizer update per full batch — bit-compatible batch semantics
+    # (mean-of-means loss/grad) at the small-batch per-ray cost. The v5e
+    # batch sweep (DESIGN.md roofline) found per-ray cost minimized at 256
+    # rays/step (XLA's backward materialization overhead shrinks at
+    # VMEM-scale working sets), so large batches run fastest as scans of
+    # 256-ray microbatches; this also bounds activation HBM at
+    # O(microbatch), which is what makes million-ray batches feasible.
+    # 0 = off (single fused step). Ignored unless 0 < microbatch < batch
+    # and batch % microbatch == 0.
+    microbatch: int = 0
     # Split the ray/pixel bank across the data-axis devices instead of
     # replicating it (data/banks.py:shard_bank). Bank HBM then scales 1/D
     # per chip — required for very large scenes (~576 MB replicated at

@@ -216,6 +216,57 @@ def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn,
     return loss, metrics
 
 
+def _microbatch_count(cfg: NeRFConfig) -> int:
+    """How many microbatches one batch splits into (1 = accumulation off).
+
+    Active only when 0 < tpu.microbatch < batch and it divides the batch —
+    anything else silently runs the single fused step (the knob is a pure
+    performance/memory schedule; semantics are identical either way)."""
+    mb = int(getattr(cfg.tpu, "microbatch", 0) or 0)
+    b = cfg.data.batch_size
+    if 0 < mb < b and b % mb == 0:
+        return b // mb
+    return 1
+
+
+def _microbatched_grads(grad_fn, batch, key, n_micro: int, mesh):
+    """Run `grad_fn(microbatch, key) -> ((loss, metrics), grads)` over
+    `n_micro` equal slices of `batch` and average everything.
+
+    One optimizer update per FULL batch, exactly like the fused step:
+    per-ray losses are means over equal-size microbatches, so the mean of
+    the microbatch grads IS the full-batch grad (up to float summation
+    order). Activation memory drops from O(batch) to O(microbatch) — the
+    schedule that makes million-ray batches fit HBM — and each microbatch
+    runs at the small-batch per-ray sweet spot (DESIGN.md batch sweep).
+    """
+    mbatches = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:]),
+        batch,
+    )
+    keys = jax.random.split(key, n_micro)
+
+    def body(carry, xs):
+        mbatch, k = xs
+        mbatch = constrain_batch(mbatch, mesh)
+        out, grads = grad_fn(mbatch, k)
+        return carry, (out[1], grads)
+
+    _, (metrics, grads) = jax.lax.scan(body, None, (mbatches, keys))
+    metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), metrics)
+    grads = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), grads)
+    # PSNR is -10*log10(mse): recompute from the AVERAGED mse so the logged
+    # value is the batch PSNR (mean of per-microbatch PSNRs would be the
+    # wrong statistic).
+    metrics["psnr_coarse"] = psnr_from_mse(metrics["loss_coarse"])
+    if "psnr_fine" in metrics:
+        metrics["psnr_fine"] = psnr_from_mse(metrics["loss_fine"])
+        metrics["psnr"] = metrics["psnr_fine"]
+    else:
+        metrics["psnr"] = metrics["psnr_coarse"]
+    return metrics, grads
+
+
 def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
     """Build the jitted scanned-step function for standard training.
 
@@ -227,6 +278,7 @@ def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
     schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
     batch_size = cfg.data.batch_size
     apply_fn = _apply_fn_for(cfg)
+    n_micro = _microbatch_count(cfg)
     sharded_sampler = (
         make_sharded_ray_sampler(mesh, batch_size)
         if _bank_is_sharded(cfg, mesh)
@@ -242,10 +294,19 @@ def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
             batch = sample_ray_batch(bank, k_batch, batch_size)
         batch = constrain_batch(batch, mesh)
 
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda m: _render_loss(m, batch, k_render, cfg, apply_fn),
-            has_aux=True,
-        )(state.models)
+        if n_micro > 1:
+            metrics, grads = _microbatched_grads(
+                lambda mb, k: jax.value_and_grad(
+                    lambda m: _render_loss(m, mb, k, cfg, apply_fn),
+                    has_aux=True,
+                )(state.models),
+                batch, k_render, n_micro, mesh,
+            )
+        else:
+            (_, metrics), grads = jax.value_and_grad(
+                lambda m: _render_loss(m, batch, k_render, cfg, apply_fn),
+                has_aux=True,
+            )(state.models)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.models)
         models = optax.apply_updates(state.models, updates)
         metrics["learning_rate"] = schedule(state.step)
@@ -324,6 +385,7 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
     batch_size = cfg.data.batch_size
     po = cfg.pose_opt
     apply_fn = _apply_fn_for(cfg)
+    n_micro = _microbatch_count(cfg)
     sharded_sampler = (
         make_sharded_pixel_sampler(mesh, batch_size)
         if _bank_is_sharded(cfg, mesh)
@@ -358,14 +420,35 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
         rot_reg_on = jnp.logical_and(rot_on, po.rotation_reg_weight > 0)
         trans_reg_on = jnp.logical_and(trans_on, po.translation_reg_weight > 0)
 
-        (loss, metrics), (grads, pose_grads) = jax.value_and_grad(
-            lambda m, p: _pose_render_loss(
-                m, p, batch, state.initial_poses, k_render, cfg, apply_fn,
-                anneal_alpha, rot_reg_on, trans_reg_on,
-            ),
-            argnums=(0, 1),
-            has_aux=True,
-        )(state.models, state.pose_params)
+        if n_micro > 1:
+            # `directions` is the shared (H, W, 3) grid, not per-ray — keep
+            # it out of the microbatch split and re-attach per slice.
+            per_ray = {k: v for k, v in batch.items() if k != "directions"}
+
+            def grad_fn(mb, k):
+                mb = dict(mb)
+                mb["directions"] = bank.directions
+                return jax.value_and_grad(
+                    lambda m, p: _pose_render_loss(
+                        m, p, mb, state.initial_poses, k, cfg, apply_fn,
+                        anneal_alpha, rot_reg_on, trans_reg_on,
+                    ),
+                    argnums=(0, 1),
+                    has_aux=True,
+                )(state.models, state.pose_params)
+
+            metrics, (grads, pose_grads) = _microbatched_grads(
+                grad_fn, per_ray, k_render, n_micro, mesh
+            )
+        else:
+            (_, metrics), (grads, pose_grads) = jax.value_and_grad(
+                lambda m, p: _pose_render_loss(
+                    m, p, batch, state.initial_poses, k_render, cfg, apply_fn,
+                    anneal_alpha, rot_reg_on, trans_reg_on,
+                ),
+                argnums=(0, 1),
+                has_aux=True,
+            )(state.models, state.pose_params)
 
         # `where`, not multiply: a gated-off NaN/inf grad must become
         # exactly zero.
