@@ -155,9 +155,10 @@ class TPUConfig:
     # VMEM-scale working sets), so large batches run fastest as scans of
     # 256-ray microbatches; this also bounds activation HBM at
     # O(microbatch), which is what makes million-ray batches feasible.
-    # 0 = off (single fused step). Ignored unless 0 < microbatch < batch
-    # and batch % microbatch == 0.
-    microbatch: int = 0
+    # -1 = auto (256 on accelerators, off on CPU — the production
+    # default), 0 = off (single fused step). Ignored unless
+    # 0 < microbatch < batch and batch % microbatch == 0.
+    microbatch: int = -1
     # Split the ray/pixel bank across the data-axis devices instead of
     # replicating it (data/banks.py:shard_bank). Bank HBM then scales 1/D
     # per chip — required for very large scenes (~576 MB replicated at

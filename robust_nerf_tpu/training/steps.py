@@ -219,10 +219,14 @@ def _render_loss(models, batch, key, cfg: NeRFConfig, apply_fn,
 def _microbatch_count(cfg: NeRFConfig) -> int:
     """How many microbatches one batch splits into (1 = accumulation off).
 
-    Active only when 0 < tpu.microbatch < batch and it divides the batch —
-    anything else silently runs the single fused step (the knob is a pure
+    -1 = auto: 256 rays on accelerators (the measured v5e per-ray sweet
+    spot, DESIGN.md microbatch sweep), off on CPU. Active only when
+    0 < microbatch < batch and it divides the batch — anything else
+    silently runs the single fused step (the knob is a pure
     performance/memory schedule; semantics are identical either way)."""
     mb = int(getattr(cfg.tpu, "microbatch", 0) or 0)
+    if mb == -1:
+        mb = 256 if jax.devices()[0].platform != "cpu" else 0
     b = cfg.data.batch_size
     if 0 < mb < b and b % mb == 0:
         return b // mb

@@ -353,14 +353,15 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--steps_per_scan", type=int, default=100)
-    parser.add_argument("--microbatch", type=int, default=0,
+    parser.add_argument("--microbatch", type=int, default=-1,
                         help="accumulate gradients over microbatches of this "
                              "many rays (one optimizer update per full "
                              "--batch_size; identical semantics). 256 is the "
                              "measured v5e per-ray sweet spot — large "
                              "batches run fastest and O(microbatch) "
                              "activation memory makes million-ray batches "
-                             "fit HBM. 0 = off")
+                             "fit HBM. -1 = auto (256 on TPU, off on CPU), "
+                             "0 = off")
     parser.add_argument("--num_devices", type=int, default=0)
     parser.add_argument("--shard_bank", action="store_true",
                         help="split the ray/pixel bank across devices "

@@ -44,6 +44,8 @@ def _det_cfg(cfg, microbatch=0):
 
 class TestMicrobatchCount:
     def test_off_by_default(self, tiny_config):
+        # default is -1 = auto, which resolves to OFF on the CPU backend
+        assert tiny_config.tpu.microbatch == -1
         assert _microbatch_count(tiny_config) == 1
 
     def test_active_when_divisible(self, tiny_config):
