@@ -10,6 +10,7 @@ behavior on top of the functional core.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
@@ -187,9 +188,11 @@ class PixelSampler:
         self.batch_size = batch_size
         self._key = jax.random.PRNGKey(seed)
 
-    def sample_batch(self):
+    def sample_batch(self) -> "PixelBatch":
         self._key, sub = jax.random.split(self._key)
-        return sample_pixel_batch(self.dataset.bank, sub, self.batch_size)
+        return PixelBatch.from_bank_batch(
+            sample_pixel_batch(self.dataset.bank, sub, self.batch_size)
+        )
 
 
 def create_data_loaders(config, noise_config: Optional[NoiseConfig] = None,
@@ -211,3 +214,218 @@ def create_pixel_dataset(config, seed: int = 0):
     dataset = PixelDataset(train_scene)
     sampler = PixelSampler(dataset, batch_size=config.batch_size, seed=seed)
     return sampler, train_scene, val_scene
+
+
+@dataclass
+class PixelBatch:
+    """Batch of pixel coordinates + targets
+    (reference: noisy_src/data_pose_opt.py:21-26).
+
+    Attribute access matches the reference (`image_indices`,
+    `pixel_coords` as (B, 2) (u, v), `target_rgb`); dict-style access
+    additionally accepts this framework's bank keys (`us`, `vs`).
+    """
+
+    image_indices: object   # (B,)
+    pixel_coords: object    # (B, 2) — (u, v)
+    target_rgb: object      # (B, 3)
+
+    @classmethod
+    def from_bank_batch(cls, batch: dict) -> "PixelBatch":
+        import jax.numpy as jnp
+
+        return cls(
+            image_indices=batch["image_indices"],
+            pixel_coords=jnp.stack([batch["us"], batch["vs"]], axis=-1),
+            target_rgb=batch["target_rgb"],
+        )
+
+    def __getitem__(self, key):
+        if key == "us":
+            return self.pixel_coords[:, 0]
+        if key == "vs":
+            return self.pixel_coords[:, 1]
+        return getattr(self, key)
+
+
+class CameraPoseParameters:
+    """Learnable SE(3) camera deltas with the reference's class surface
+    (noisy_src/train_pose_opt.py:53-271).
+
+    The TPU framework keeps pose deltas as a plain pytree inside
+    PoseOptState (training/steps.py) — this wrapper provides the
+    reference's object API (get_poses / get_all_poses /
+    compute_pose_errors, learn_* freezing) on top of the same functional
+    SE(3) core, for users porting reference training scripts.
+    """
+
+    def __init__(self, initial_poses, learn_rotation: bool = True,
+                 learn_translation: bool = True):
+        import jax.numpy as jnp
+
+        self.initial_poses = jnp.asarray(initial_poses, jnp.float32)
+        self.n_poses = int(self.initial_poses.shape[0])
+        self.learn_rotation = learn_rotation
+        self.learn_translation = learn_translation
+        self.rotation_deltas = jnp.zeros((self.n_poses, 3), jnp.float32)
+        self.translation_deltas = jnp.zeros((self.n_poses, 3), jnp.float32)
+
+    @property
+    def pose_params(self) -> dict:
+        """The functional pytree the jitted steps optimize."""
+        return {
+            "rotation_deltas": self.rotation_deltas,
+            "translation_deltas": self.translation_deltas,
+        }
+
+    def load_pose_params(self, pose_params: dict) -> None:
+        """Adopt deltas from a PoseOptState (e.g. after training)."""
+        self.rotation_deltas = pose_params["rotation_deltas"]
+        self.translation_deltas = pose_params["translation_deltas"]
+
+    def get_poses(self, indices=None):
+        """Current poses = exp-map deltas composed onto the initial poses
+        (reference: train_pose_opt.py:186-226), honoring learn_* freezes."""
+        import jax.numpy as jnp
+
+        from robust_nerf_tpu.core.se3 import apply_pose_deltas
+
+        rot = self.rotation_deltas if self.learn_rotation else (
+            jnp.zeros_like(self.rotation_deltas))
+        trans = self.translation_deltas if self.learn_translation else (
+            jnp.zeros_like(self.translation_deltas))
+        poses = apply_pose_deltas(self.initial_poses, rot, trans)
+        if indices is not None:
+            poses = poses[jnp.asarray(indices)]
+        return poses
+
+    def get_all_poses(self):
+        return self.get_poses()
+
+    def compute_pose_errors(self, ground_truth_poses, indices=None) -> dict:
+        """Error stats vs ground truth with the reference's key names
+        (train_pose_opt.py:232-271)."""
+        import jax.numpy as jnp
+
+        from robust_nerf_tpu.core.se3 import pose_errors
+
+        current = self.get_poses(indices)
+        gt = jnp.asarray(ground_truth_poses, jnp.float32)
+        if indices is not None:
+            gt = gt[jnp.asarray(indices)]
+        e = pose_errors(current, gt)
+        return {
+            "rotation_error_mean": float(e["mean_rotation_error_deg"]),
+            "rotation_error_std": float(e["std_rotation_error_deg"]),
+            "rotation_error_max": float(e["max_rotation_error_deg"]),
+            "translation_error_mean": float(e["mean_translation_error"]),
+            "translation_error_std": float(e["std_translation_error"]),
+            "translation_error_max": float(e["max_translation_error"]),
+        }
+
+
+def set_seed(seed: int) -> None:
+    """Host-side RNG seeding (reference: train.py:36-42 seeds
+    random/numpy/torch/cuda). Device-side randomness in this framework is
+    explicit jax.random key threading (seeded from TrainConfig.seed), so
+    only the host streams are global state."""
+    import random as _random
+
+    _random.seed(seed)
+    np.random.seed(seed)
+
+
+def render_image(renderer: NeRFRenderer, pose, H: int, W: int, focal: float,
+                 chunk_size: int = 1024 * 4):
+    """Full-frame render with the reference's signature
+    (noisy_src/inference.py:76-105 / train.py:122-160): takes the
+    renderer OBJECT + camera intrinsics, returns {"rgb", "depth", "acc"}
+    maps of shape (H, W, ...)."""
+    from robust_nerf_tpu.config import TPUConfig
+    from robust_nerf_tpu.ops.rendering import render_image as _render_image
+
+    tpu_cfg = TPUConfig(eval_tile=int(chunk_size))
+    out = _render_image(
+        renderer.models, np.asarray(pose), H, W, focal,
+        renderer.config, renderer.model_coarse.config, tpu_cfg,
+    )
+    return out
+
+
+def generate_output_folder_name(mode: str, noise_config, scene: str) -> str:
+    """{mode}_{scene}_{noise_desc}_{timestamp}
+    (reference: inference.py:128-142)."""
+    from datetime import datetime
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    return f"{mode}_{scene}_{noise_config}_{timestamp}"
+
+
+_STEP_CACHE: dict = {}
+
+
+def _cached_chunk(cfg, kind: str):
+    """One-iteration jitted step builder, cached per config contents."""
+    import json as _json
+
+    from robust_nerf_tpu.config import config_to_dict
+    from robust_nerf_tpu.training.steps import (
+        make_pose_opt_chunk,
+        make_train_chunk,
+    )
+
+    key = (kind, _json.dumps(config_to_dict(cfg), sort_keys=True, default=str))
+    if key not in _STEP_CACHE:
+        build = make_train_chunk if kind == "train" else make_pose_opt_chunk
+        _STEP_CACHE[key] = build(cfg, steps=1)
+    return _STEP_CACHE[key]
+
+
+def train_step(state, bank, key, cfg):
+    """ONE optimization step (reference: train.py:68-119, whose train_step
+    renders a batch, backprops, clips, and applies Adam).
+
+    Functional equivalent: samples a batch from `bank`, runs the fused
+    render+loss+backward+update program, returns (new_state, metrics) with
+    scalar metrics (loss/loss_coarse/loss_fine/psnr/learning_rate). For
+    production loops prefer make_train_chunk (many steps per dispatch).
+    """
+    chunk = _cached_chunk(cfg, "train")
+    state, m = chunk(state, bank, key)
+    return state, {k: float(np.asarray(v)[0]) for k, v in m.items()}
+
+
+def train_step_with_poses(state, bank, key, cfg):
+    """ONE joint NeRF+pose step (reference: train_pose_opt.py:290-409).
+
+    Same contract as `train_step`, on a PoseOptState + PixelBank; pose
+    gradients flow through differentiable ray regeneration and the delayed
+    pose optimizer exactly as in the production loop."""
+    chunk = _cached_chunk(cfg, "pose_opt")
+    state, m = chunk(state, bank, key)
+    return state, {k: float(np.asarray(v)[0]) for k, v in m.items()}
+
+
+def render_image_with_pose(model_coarse, model_fine, pose, H, W, focal,
+                           render_config=None, chunk_size: int = 1024 * 4):
+    """Full-frame render from explicit coarse/fine models + pose
+    (reference: train_pose_opt.py:414-470). Models may be compat.NeRF
+    wrappers or raw param pytrees (paired with a ModelConfig default)."""
+    from robust_nerf_tpu.config import TPUConfig
+    from robust_nerf_tpu.ops.rendering import render_image as _render_image
+
+    if isinstance(model_coarse, NeRF):
+        models = {"coarse": model_coarse.params}
+        model_cfg = model_coarse.config
+        if model_fine is not None:
+            models["fine"] = model_fine.params
+    else:
+        models = {"coarse": model_coarse}
+        model_cfg = ModelConfig()
+        if model_fine is not None:
+            models["fine"] = model_fine
+    return _render_image(
+        models, np.asarray(pose), H, W, focal,
+        render_config or RenderConfig(), model_cfg,
+        TPUConfig(eval_tile=int(chunk_size)),
+    )

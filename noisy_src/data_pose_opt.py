@@ -4,6 +4,7 @@ from robust_nerf_tpu.data.banks import (  # noqa: F401
     sample_pixel_batch,
 )
 from noisy_src.compat import (  # noqa: F401,E402
+    PixelBatch,
     PixelDataset,
     PixelSampler,
     create_pixel_dataset,

@@ -8,6 +8,14 @@ from robust_nerf_tpu.evalx.inference import (  # noqa: F401
     main,
     render_video,
 )
+from robust_nerf_tpu.utils.logger import (  # noqa: F401
+    depth_to_colormap,
+)
+from robust_nerf_tpu.utils.logger import save_png as save_image  # noqa: F401
+from noisy_src.compat import (  # noqa: F401,E402
+    generate_output_folder_name,
+    render_image,
+)
 
 if __name__ == "__main__":
     main()

@@ -5,3 +5,6 @@ from robust_nerf_tpu.utils.logger import (  # noqa: F401
     TrainingMetrics,
     ValidationMetrics,
 )
+from robust_nerf_tpu.utils.visualize import (  # noqa: F401
+    create_comparison_plot,
+)

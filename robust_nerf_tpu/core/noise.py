@@ -50,6 +50,36 @@ class NoiseConfig:
         return self.translation_noise
 
 
+# Module-level default stream for callers that do not pass an explicit
+# Generator — set_noise_seed() re-seeds it, giving the reference's
+# global-seed reproducibility contract (noisy_src/noise.py:65-68) without
+# touching numpy's global state used by unrelated code.
+_default_rng = np.random.default_rng()
+
+
+def set_noise_seed(seed: int) -> None:
+    """Seed the default noise stream (reference: noisy_src/noise.py:65-68).
+
+    The reference seeds torch+numpy globally; here only the noise module's
+    own Generator is re-seeded (explicit-rng callers are unaffected), plus
+    numpy's legacy global state for code that still reads it.
+    """
+    global _default_rng
+    _default_rng = np.random.default_rng(seed)
+    np.random.seed(seed)
+
+
+def random_translation(
+    std: float, rng: Optional[np.random.Generator] = None
+) -> np.ndarray:
+    """Gaussian 3-vector translation noise (reference: noise.py:116-135)."""
+    if std == 0:
+        return np.zeros(3, dtype=np.float32)
+    if rng is None:
+        rng = _default_rng
+    return (rng.standard_normal(3) * std).astype(np.float32)
+
+
 def random_rotation_matrix(std_deg: float, rng: np.random.Generator) -> np.ndarray:
     """Random rotation: Gaussian angle (std_deg), uniform axis, Rodrigues.
 
@@ -84,7 +114,7 @@ def add_noise_to_pose(
     the actually-applied rotation angle (via the trace formula).
     """
     if rng is None:
-        rng = np.random.default_rng()
+        rng = _default_rng   # seedable via set_noise_seed()
     noisy = np.array(pose, dtype=np.float32, copy=True)
     info = {
         "rotation_noise_deg": rotation_noise_deg,

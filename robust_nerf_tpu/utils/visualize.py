@@ -40,6 +40,97 @@ def _pd():
         raise SystemExit(f"pandas required for visualization: {e}")
 
 
+def check_dependencies() -> None:
+    """Raise if matplotlib/pandas are unavailable
+    (reference: visualize.py:35-40)."""
+    _plt()
+    _pd()
+
+
+def load_training_logs(exp_dir: Path):
+    """logs/train_metrics.csv as a DataFrame (reference: visualize.py:43-49)."""
+    pd = _pd()
+    csv_path = Path(exp_dir) / "logs" / "train_metrics.csv"
+    if not csv_path.exists():
+        raise FileNotFoundError(f"Training log not found: {csv_path}")
+    return pd.read_csv(csv_path)
+
+
+def load_validation_logs(exp_dir: Path):
+    """logs/val_metrics.csv as a DataFrame (reference: visualize.py:52-58)."""
+    pd = _pd()
+    csv_path = Path(exp_dir) / "logs" / "val_metrics.csv"
+    if not csv_path.exists():
+        raise FileNotFoundError(f"Validation log not found: {csv_path}")
+    return pd.read_csv(csv_path)
+
+
+def load_summary(exp_dir: Path) -> dict:
+    """summary.json as a dict (reference: visualize.py:61-67)."""
+    summary_path = Path(exp_dir) / "summary.json"
+    if not summary_path.exists():
+        raise FileNotFoundError(f"Summary not found: {summary_path}")
+    with open(summary_path) as f:
+        return json.load(f)
+
+
+def create_report_figures(
+    exp_dir: Path, output_dir: Optional[Path] = None
+) -> Path:
+    """Write training_curves.png + validation_curves.png (+ pose_errors.png
+    for pose-opt runs) into `<exp_dir>/figures/`
+    (reference: visualize.py:387-429)."""
+    exp_dir = Path(exp_dir)
+    output_dir = Path(output_dir) if output_dir else exp_dir / "figures"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    for name, fn in [
+        ("training_curves.png", plot_training_curves),
+        ("validation_curves.png", plot_validation_curves),
+        ("pose_errors.png", plot_pose_errors),
+    ]:
+        try:
+            fn(exp_dir, output=output_dir / name)
+        except FileNotFoundError:
+            pass  # e.g. no pose_errors.csv for a standard run
+        except Exception as e:  # reference warns and continues (:410-428)
+            print(f"  Warning: could not generate {name}: {e}")
+    return output_dir
+
+
+def create_comparison_plot(
+    experiments: List[Path],
+    metric: str = "psnr",
+    output_path: Optional[Path] = None,
+) -> Optional[Path]:
+    """Overlay `metric` across experiments — loss reads the train CSV,
+    val metrics read the val CSV (reference: logger.py:371-423)."""
+    plt, pd = _plt(), _pd()
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for exp_path in experiments:
+        exp_path = Path(exp_path)
+        csv_file = (
+            exp_path / "logs" / "train_metrics.csv"
+            if metric == "loss"
+            else exp_path / "logs" / "val_metrics.csv"
+        )
+        if not csv_file.exists():
+            print(f"Warning: {csv_file} not found")
+            continue
+        df = pd.read_csv(csv_file)
+        if metric in df.columns:
+            ax.plot(df["iteration"], df[metric], label=exp_path.name)
+    ax.set_xlabel("Iteration")
+    ax.set_ylabel(metric.upper())
+    ax.set_title(f"Training Comparison: {metric.upper()}")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    if output_path:
+        fig.savefig(output_path, dpi=150, bbox_inches="tight")
+        print(f"Plot saved to {output_path}")
+    plt.close(fig)
+    return Path(output_path) if output_path else None
+
+
 def plot_training_curves(exp_dir: Path, output: Optional[Path] = None) -> Path:
     """2x2 grid: loss / train PSNR / lr / rays-per-sec
     (reference: visualize.py:70-143)."""
