@@ -254,11 +254,28 @@ def _microbatched_grads(grad_fn, batch, key, n_micro: int, mesh):
         mbatch, k = xs
         mbatch = constrain_batch(mbatch, mesh)
         out, grads = grad_fn(mbatch, k)
-        return carry, (out[1], grads)
+        # Accumulate in the carry — stacking n_micro grad trees as scan
+        # outputs would materialize n_micro x |params| (39 GB at a
+        # million-ray batch); the running sum keeps memory at O(|params|).
+        acc_m, acc_g = carry
+        acc_m = jax.tree_util.tree_map(jnp.add, acc_m, out[1])
+        acc_g = jax.tree_util.tree_map(jnp.add, acc_g, grads)
+        return (acc_m, acc_g), None
 
-    _, (metrics, grads) = jax.lax.scan(body, None, (mbatches, keys))
-    metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), metrics)
-    grads = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), grads)
+    zero_m, zero_g = jax.eval_shape(
+        lambda: grad_fn(
+            jax.tree_util.tree_map(lambda x: x[0], mbatches), keys[0]
+        )
+    )
+    init = (
+        jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                               zero_m[1]),
+        jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), zero_g),
+    )
+    (metrics, grads), _ = jax.lax.scan(body, init, (mbatches, keys))
+    inv = 1.0 / n_micro
+    metrics = jax.tree_util.tree_map(lambda x: x * inv, metrics)
+    grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
     # PSNR is -10*log10(mse): recompute from the AVERAGED mse so the logged
     # value is the batch PSNR (mean of per-microbatch PSNRs would be the
     # wrong statistic).
