@@ -230,3 +230,21 @@ class TestShardedMicrobatch:
         np.testing.assert_allclose(
             np.asarray(m1["loss"]), np.asarray(m8["loss"]), rtol=1e-4, atol=1e-6
         )
+
+    def test_composes_with_sharded_bank(self, tiny_scene, tiny_config):
+        """shard_bank + microbatch: the shard_map sampler emits one global
+        (B, ...) batch which then scans as microbatches — must run and
+        train on the 8-device mesh."""
+        from robust_nerf_tpu.data.banks import shard_bank
+
+        cfg = _det_cfg(tiny_config, microbatch=64)
+        cfg.tpu = dataclasses.replace(cfg.tpu, shard_bank=True)
+        mesh = create_mesh(num_devices=8)
+        bank, _, _ = build_ray_bank(tiny_scene)
+        sbank = shard_bank(bank, mesh)
+        state = replicate(create_train_state(jax.random.PRNGKey(0), cfg), mesh)
+        chunk = make_train_chunk(cfg, mesh=mesh, steps=10)
+        state, m = chunk(state, sbank, jax.random.PRNGKey(1))
+        losses = np.asarray(m["loss"])
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
