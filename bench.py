@@ -17,7 +17,7 @@ rays/step is the measured v5e per-ray sweet spot (DESIGN.md roofline —
 XLA's bwd materialization overhead shrinks at VMEM-scale working sets)
 and 16 accumulations per update amortize the optimizer, measuring ~137k
 rays/s vs 126.4k for plain batch 256 and 69.4k for a fused batch-4096
-step. Microbatching preserves exact batch semantics (mean-of-means
+step. Microbatching preserves the optimizer semantics (mean-of-means
 grads, one update per batch — tests/test_microbatch.py), so an iso-batch
 line is also printed first at the reference's own batch 1024
 (noisy_src/config.py:46-56, microbatch 256, ~133k rays/s):
@@ -49,7 +49,7 @@ def measure(batch: int, scan: int, scene, on_accel: bool,
     """Compile + run the configured step at `batch`; return (metric, rate,
     ref) for one JSON line. `microbatch` (None = BENCH_MICROBATCH env, 0 =
     off) renders the batch as scanned microbatches with ONE optimizer
-    update per batch — identical semantics, small-batch per-ray cost."""
+    update per batch — same optimizer semantics, small-batch per-ray cost."""
     from robust_nerf_tpu.config import (
         DataConfig,
         ModelConfig,
@@ -143,7 +143,7 @@ def main():
     # working sets — DESIGN.md roofline) and accumulating 16 microbatches
     # per update amortizes the optimizer, saturating ~137k rays/s at
     # batch 4096 (vs 126.4k for plain batch 256, 69.4k for fused batch
-    # 4096). Identical optimizer semantics to a fused step at the same
+    # 4096). Same optimizer semantics as a fused step at the same
     # batch (mean-of-means grads; tests/test_microbatch.py).
     # CPU fallback keeps small shapes so the bench still runs.
     # BENCH_BATCH/BENCH_MICROBATCH/BENCH_DTYPE/BENCH_REMAT override.

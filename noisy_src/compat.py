@@ -216,6 +216,7 @@ def create_pixel_dataset(config, seed: int = 0):
     return sampler, train_scene, val_scene
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class PixelBatch:
     """Batch of pixel coordinates + targets
@@ -224,6 +225,8 @@ class PixelBatch:
     Attribute access matches the reference (`image_indices`,
     `pixel_coords` as (B, 2) (u, v), `target_rgb`); dict-style access
     additionally accepts this framework's bank keys (`us`, `vs`).
+    Registered as a JAX pytree (three array leaves) so tree_map/jit/
+    device_put treat it like the dict it replaced.
     """
 
     image_indices: object   # (B,)
@@ -240,12 +243,24 @@ class PixelBatch:
             target_rgb=batch["target_rgb"],
         )
 
+    def tree_flatten(self):
+        return (self.image_indices, self.pixel_coords, self.target_rgb), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
     def __getitem__(self, key):
         if key == "us":
             return self.pixel_coords[:, 0]
         if key == "vs":
             return self.pixel_coords[:, 1]
-        return getattr(self, key)
+        if isinstance(key, str) and key in (
+            "image_indices", "pixel_coords", "target_rgb"
+        ):
+            return getattr(self, key)
+        raise KeyError(key)
 
 
 class CameraPoseParameters:
@@ -328,11 +343,15 @@ def set_seed(seed: int) -> None:
     """Host-side RNG seeding (reference: train.py:36-42 seeds
     random/numpy/torch/cuda). Device-side randomness in this framework is
     explicit jax.random key threading (seeded from TrainConfig.seed), so
-    only the host streams are global state."""
+    only the host streams are global state — including the noise module's
+    default Generator (in the reference, noise consumes the numpy global
+    stream, so set_seed made it reproducible; mirror that here)."""
     import random as _random
 
+    from robust_nerf_tpu.core.noise import set_noise_seed
+
     _random.seed(seed)
-    np.random.seed(seed)
+    set_noise_seed(seed)   # also does np.random.seed(seed)
 
 
 def render_image(renderer: NeRFRenderer, pose, H: int, W: int, focal: float,
@@ -364,6 +383,17 @@ def generate_output_folder_name(mode: str, noise_config, scene: str) -> str:
 _STEP_CACHE: dict = {}
 
 
+def _copy_state(state):
+    """The production chunks donate their input state buffers (jit
+    donate_argnums) — correct for the training loops, surprising for this
+    single-step compat API where the reference leaves the caller's
+    objects usable. Donate a fresh copy instead so `state` stays valid
+    after the call."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.array, state)
+
+
 def _cached_chunk(cfg, kind: str):
     """One-iteration jitted step builder, cached per config contents."""
     import json as _json
@@ -391,7 +421,7 @@ def train_step(state, bank, key, cfg):
     production loops prefer make_train_chunk (many steps per dispatch).
     """
     chunk = _cached_chunk(cfg, "train")
-    state, m = chunk(state, bank, key)
+    state, m = chunk(_copy_state(state), bank, key)
     return state, {k: float(np.asarray(v)[0]) for k, v in m.items()}
 
 
@@ -402,28 +432,31 @@ def train_step_with_poses(state, bank, key, cfg):
     gradients flow through differentiable ray regeneration and the delayed
     pose optimizer exactly as in the production loop."""
     chunk = _cached_chunk(cfg, "pose_opt")
-    state, m = chunk(state, bank, key)
+    state, m = chunk(_copy_state(state), bank, key)
     return state, {k: float(np.asarray(v)[0]) for k, v in m.items()}
 
 
 def render_image_with_pose(model_coarse, model_fine, pose, H, W, focal,
-                           render_config=None, chunk_size: int = 1024 * 4):
+                           render_config=None, chunk_size: int = 1024 * 4,
+                           model_config=None):
     """Full-frame render from explicit coarse/fine models + pose
-    (reference: train_pose_opt.py:414-470). Models may be compat.NeRF
-    wrappers or raw param pytrees (paired with a ModelConfig default)."""
+    (reference: train_pose_opt.py:414-470). Each model may independently
+    be a compat.NeRF wrapper or a raw param pytree; `model_config` pins
+    the architecture for raw pytrees (defaults to the first wrapper's
+    config, else ModelConfig() — pass it explicitly for non-default
+    architectures given as raw params)."""
     from robust_nerf_tpu.config import TPUConfig
     from robust_nerf_tpu.ops.rendering import render_image as _render_image
 
-    if isinstance(model_coarse, NeRF):
-        models = {"coarse": model_coarse.params}
-        model_cfg = model_coarse.config
-        if model_fine is not None:
-            models["fine"] = model_fine.params
-    else:
-        models = {"coarse": model_coarse}
-        model_cfg = ModelConfig()
-        if model_fine is not None:
-            models["fine"] = model_fine
+    def split(m):
+        return (m.params, m.config) if isinstance(m, NeRF) else (m, None)
+
+    coarse_params, coarse_cfg = split(model_coarse)
+    models = {"coarse": coarse_params}
+    fine_cfg = None
+    if model_fine is not None:
+        models["fine"], fine_cfg = split(model_fine)
+    model_cfg = model_config or coarse_cfg or fine_cfg or ModelConfig()
     return _render_image(
         models, np.asarray(pose), H, W, focal,
         render_config or RenderConfig(), model_cfg,

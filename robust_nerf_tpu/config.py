@@ -148,8 +148,12 @@ class TPUConfig:
     fused_resample: str = "auto"
     # Gradient accumulation: render/backprop the batch as scanned
     # microbatches of this many rays, average the grads, and apply ONE
-    # optimizer update per full batch — bit-compatible batch semantics
-    # (mean-of-means loss/grad) at the small-batch per-ray cost. The v5e
+    # optimizer update per full batch — same optimizer semantics
+    # (mean-of-means loss/grad, same update cadence) at the small-batch
+    # per-ray cost. NOT bit-identical to the fused step: each microbatch
+    # draws its own render key (different stratified-jitter positions)
+    # and float summation order differs, so a resumed pre-microbatch run
+    # continues with an equivalent but not bitwise-identical trajectory. The v5e
     # batch sweep (DESIGN.md roofline) found per-ray cost minimized at 256
     # rays/step (XLA's backward materialization overhead shrinks at
     # VMEM-scale working sets), so large batches run fastest as scans of

@@ -127,7 +127,7 @@ def add_noise_to_pose(
         angle = np.arccos(np.clip((trace - 1.0) / 2.0, -1.0, 1.0))
         info["actual_rotation_deg"] = float(angle * 180.0 / np.pi)
     if translation_noise > 0:
-        t_noise = (rng.standard_normal(3) * translation_noise).astype(np.float32)
+        t_noise = random_translation(translation_noise, rng)
         noisy[:3, 3] = pose[:3, 3] + t_noise
         info["actual_translation_norm"] = float(np.linalg.norm(t_noise))
     return noisy, info
@@ -140,7 +140,14 @@ def add_noise_to_poses(
 
     Reference semantics: noisy_src/noise.py:190-234.
     """
-    rng = np.random.default_rng(noise_config.seed)
+    # Explicit seed -> its own reproducible stream; seed=None -> the
+    # module default stream, so set_noise_seed() governs it (reference
+    # global-seed contract, noise.py:65-68).
+    rng = (
+        np.random.default_rng(noise_config.seed)
+        if noise_config.seed is not None
+        else _default_rng
+    )
     poses = np.asarray(poses, dtype=np.float32)
     noisy_list, infos = [], []
     for i in range(poses.shape[0]):

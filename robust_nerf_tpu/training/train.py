@@ -356,7 +356,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--microbatch", type=int, default=-1,
                         help="accumulate gradients over microbatches of this "
                              "many rays (one optimizer update per full "
-                             "--batch_size; identical semantics). 256 is the "
+                             "--batch_size; same optimizer semantics). 256 is the "
                              "measured v5e per-ray sweet spot — large "
                              "batches run fastest and O(microbatch) "
                              "activation memory makes million-ray batches "

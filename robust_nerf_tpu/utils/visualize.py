@@ -83,16 +83,18 @@ def create_report_figures(
     exp_dir = Path(exp_dir)
     output_dir = Path(output_dir) if output_dir else exp_dir / "figures"
     output_dir.mkdir(parents=True, exist_ok=True)
-    for name, fn in [
-        ("training_curves.png", plot_training_curves),
-        ("validation_curves.png", plot_validation_curves),
-        ("pose_errors.png", plot_pose_errors),
+    for name, fn, optional in [
+        ("training_curves.png", plot_training_curves, False),
+        ("validation_curves.png", plot_validation_curves, False),
+        # standard runs have no pose_errors.csv — absence is expected
+        ("pose_errors.png", plot_pose_errors, True),
     ]:
         try:
             fn(exp_dir, output=output_dir / name)
-        except FileNotFoundError:
-            pass  # e.g. no pose_errors.csv for a standard run
-        except Exception as e:  # reference warns and continues (:410-428)
+        except FileNotFoundError as e:
+            if not optional:  # reference warns and continues (:410-428)
+                print(f"  Warning: could not generate {name}: {e}")
+        except Exception as e:
             print(f"  Warning: could not generate {name}: {e}")
     return output_dir
 

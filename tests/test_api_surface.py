@@ -53,6 +53,41 @@ class TestNoiseHelpers:
                                  translation_noise=0.1)
         np.testing.assert_array_equal(a, b)
 
+    def test_set_noise_seed_governs_add_noise_to_poses(self, tiny_scene):
+        """The batch entry point (seed=None in NoiseConfig) must consume
+        the module default stream set_noise_seed controls — the
+        reference's global-seed contract (noise.py:65-68)."""
+        from noisy_src.noise import (
+            NoiseConfig,
+            add_noise_to_poses,
+            set_noise_seed,
+        )
+
+        nc = NoiseConfig(rotation_noise_deg=2.0)   # seed=None
+        set_noise_seed(11)
+        a, _ = add_noise_to_poses(tiny_scene.poses, nc)
+        set_noise_seed(11)
+        b, _ = add_noise_to_poses(tiny_scene.poses, nc)
+        np.testing.assert_array_equal(a, b)
+        # an explicit NoiseConfig.seed still wins over the global stream
+        nc_seeded = NoiseConfig(rotation_noise_deg=2.0, seed=3)
+        c, _ = add_noise_to_poses(tiny_scene.poses, nc_seeded)
+        d, _ = add_noise_to_poses(tiny_scene.poses, nc_seeded)
+        np.testing.assert_array_equal(c, d)
+
+    def test_compat_set_seed_seeds_noise_stream(self):
+        """Reference-ported scripts call train.set_seed(seed) and expect
+        subsequent pose noise to be reproducible (train.py:36-42)."""
+        from noisy_src.noise import add_noise_to_pose
+        from noisy_src.train import set_seed
+
+        pose = np.eye(4, dtype=np.float32)
+        set_seed(42)
+        a, _ = add_noise_to_pose(pose, rotation_noise_deg=2.0)
+        set_seed(42)
+        b, _ = add_noise_to_pose(pose, rotation_noise_deg=2.0)
+        np.testing.assert_array_equal(a, b)
+
     def test_random_translation(self):
         from noisy_src.noise import random_translation
 
@@ -83,6 +118,27 @@ class TestPixelBatch:
         np.testing.assert_array_equal(
             np.asarray(b["image_indices"]), np.asarray(b.image_indices)
         )
+        with pytest.raises(KeyError):
+            b["nonexistent"]
+
+    def test_pixel_batch_is_a_pytree(self, tiny_scene):
+        """tree_map and jit must see the three array leaves, like the dict
+        it replaced."""
+        import jax.numpy as jnp
+
+        from noisy_src.data_pose_opt import PixelDataset, PixelSampler
+
+        sampler = PixelSampler(PixelDataset(tiny_scene), batch_size=16)
+        b = sampler.sample_batch()
+        halved = jax.tree_util.tree_map(lambda x: x[:8], b)
+        assert halved.image_indices.shape == (8,)
+        assert halved.pixel_coords.shape == (8, 2)
+
+        @jax.jit
+        def mean_rgb(batch):
+            return jnp.mean(batch.target_rgb)
+
+        assert np.isfinite(float(mean_rgb(b)))
 
 
 class TestCameraPoseParameters:
@@ -150,6 +206,12 @@ class TestTrainStepAdapters:
         assert int(new_state.step) == 1
         assert np.isfinite(m["loss"]) and m["loss"] > 0
         assert {"loss_coarse", "psnr", "learning_rate"} <= set(m)
+        # the caller's input state must stay usable after the call (the
+        # production chunk donates its input buffers; the compat adapter
+        # shields the caller — reference train_step leaves objects alive)
+        assert int(state.step) == 0
+        s2, _ = train_step(state, bank, jax.random.PRNGKey(2), tiny_config)
+        assert int(s2.step) == 1
 
     def test_train_step_with_poses_one_iteration(self, tiny_scene,
                                                  tiny_config):
@@ -209,6 +271,44 @@ class TestInferenceAdapters:
             chunk_size=128,
         )
         assert out["rgb"].shape == (tiny_scene.H, tiny_scene.W, 3)
+
+    def test_render_image_with_pose_mixed_kinds(self, tiny_scene):
+        """Wrapper coarse + raw-pytree fine (and vice versa) must work;
+        the wrapper's config pins the architecture for the raw one."""
+        from noisy_src.train_pose_opt import render_image_with_pose
+        from noisy_src.compat import NeRF
+        from robust_nerf_tpu.config import ModelConfig, RenderConfig
+        from robust_nerf_tpu.models.nerf import init_nerf_params
+
+        mc = ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
+                         num_hidden_layers=2, skips=(1,))
+        rc = RenderConfig(num_samples=4, num_samples_fine=4)
+        raw_fine = init_nerf_params(jax.random.PRNGKey(1), mc)
+        out = render_image_with_pose(
+            NeRF(mc, jax.random.PRNGKey(0)), raw_fine,
+            np.asarray(tiny_scene.poses[0]),
+            tiny_scene.H, tiny_scene.W, tiny_scene.focal, rc,
+            chunk_size=128,
+        )
+        assert out["rgb"].shape == (tiny_scene.H, tiny_scene.W, 3)
+        # raw coarse + wrapper fine: config comes from the fine wrapper
+        out2 = render_image_with_pose(
+            init_nerf_params(jax.random.PRNGKey(2), mc),
+            NeRF(mc, jax.random.PRNGKey(3)),
+            np.asarray(tiny_scene.poses[0]),
+            tiny_scene.H, tiny_scene.W, tiny_scene.focal, rc,
+            chunk_size=128,
+        )
+        assert out2["rgb"].shape == (tiny_scene.H, tiny_scene.W, 3)
+        # raw-only non-default architecture via explicit model_config
+        out3 = render_image_with_pose(
+            init_nerf_params(jax.random.PRNGKey(4), mc), None,
+            np.asarray(tiny_scene.poses[0]),
+            tiny_scene.H, tiny_scene.W, tiny_scene.focal,
+            RenderConfig(num_samples=4, use_hierarchical=False),
+            chunk_size=128, model_config=mc,
+        )
+        assert out3["rgb"].shape == (tiny_scene.H, tiny_scene.W, 3)
 
     def test_save_image_and_folder_name(self, tmp_path):
         from noisy_src.inference import (
@@ -273,6 +373,18 @@ class TestVisualizeHelpers:
         assert (fig_dir / "validation_curves.png").exists()
         # standard run: no pose_errors.csv, silently skipped
         assert not (fig_dir / "pose_errors.png").exists()
+
+    def test_create_report_figures_warns_on_missing_logs(self, tmp_path,
+                                                         capsys):
+        """An empty run dir must WARN about the mandatory figures, not
+        silently return an empty figures/ (reference warns and continues,
+        visualize.py:410-428)."""
+        from noisy_src.visualize import create_report_figures
+
+        create_report_figures(tmp_path)
+        outerr = capsys.readouterr()
+        assert "training_curves.png" in outerr.out
+        assert "Warning" in outerr.out
 
     def test_create_comparison_plot(self, run_dir, tmp_path):
         from noisy_src.logger import create_comparison_plot
