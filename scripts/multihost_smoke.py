@@ -95,7 +95,12 @@ def _run_trajectory(mode: str = "train"):
         pose_opt=PoseOptConfig(pose_lr=1e-3, pose_opt_delay=0,
                                rotation_reg_weight=0.0,
                                translation_reg_weight=0.0),
-        tpu=TPUConfig(steps_per_scan=5),
+        # microbatch=32 (4 microbatches of the 128-ray batch) so every
+        # multihost assertion — convergence, bit-identical replication,
+        # trajectory equivalence vs single-process — exercises the
+        # microbatched gradient-accumulation step across processes (auto
+        # would resolve to off on the CPU backend).
+        tpu=TPUConfig(steps_per_scan=5, microbatch=32),
     )
     # identical host-side data on every process (the banks path); the mesh
     # spans all global devices
