@@ -133,6 +133,11 @@ def measure(batch: int, scan: int, scene, on_accel: bool,
 
 def main():
     from robust_nerf_tpu.data.synthetic import make_synthetic_scene
+    from robust_nerf_tpu.utils.compile_cache import enable_compilation_cache
+
+    # Persist compiled programs across bench runs (skips the setup compile
+    # only — steady-state rays/s is measured after warmup either way).
+    enable_compilation_cache(os.environ.get("BENCH_COMPILE_CACHE", "auto"))
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"

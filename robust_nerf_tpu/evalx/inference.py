@@ -325,7 +325,13 @@ def main(argv=None):
     parser.add_argument("--translation_noise", type=float, default=0.0)
     parser.add_argument("--translation_noise_pct", type=float, default=0.0)
     parser.add_argument("--noise_seed", type=int, default=None)
+    parser.add_argument("--compile_cache", type=str, default="auto",
+                        help="persistent XLA compilation cache directory "
+                             "('auto' = default location, 'off' = disable)")
     args = parser.parse_args(argv)
+
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(args.compile_cache)
 
     models, cfg, meta, _ = load_checkpoint(args.checkpoint)
     if args.scene:

@@ -15,6 +15,7 @@ per-group gradient clipping (train_pose_opt.py:290-409).
 
 from __future__ import annotations
 
+import os
 import warnings
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
@@ -272,7 +273,16 @@ def _microbatched_grads(grad_fn, batch, key, n_micro: int, mesh):
                                zero_m[1]),
         jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), zero_g),
     )
-    (metrics, grads), _ = jax.lax.scan(body, init, (mbatches, keys))
+    # ROBUST_NERF_MB_UNROLL > 1 unrolls the accumulation scan so XLA can
+    # overlap adjacent microbatches' VPU and MXU work at k-times the
+    # activation footprint (A/B knob; measured a clear LOSS on v5e —
+    # 139.1k/111.7k/103.8k rays/s at unroll 1/2/4, DESIGN.md — the
+    # unrolled body leaves the VMEM-scale working set that makes the
+    # 256-ray microbatch fast; ships default 1).
+    unroll = int(os.environ.get("ROBUST_NERF_MB_UNROLL", "1"))
+    (metrics, grads), _ = jax.lax.scan(
+        body, init, (mbatches, keys), unroll=max(1, min(unroll, n_micro))
+    )
     inv = 1.0 / n_micro
     metrics = jax.tree_util.tree_map(lambda x: x * inv, metrics)
     grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
@@ -358,7 +368,20 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
     poses = apply_pose_deltas(
         initial_poses, pose_params["rotation_deltas"], pose_params["translation_deltas"]
     )
-    batch_poses = poses[batch["image_indices"]]          # (B, 4, 4) gather
+    if os.environ.get("ROBUST_NERF_ONEHOT_POSES", "0") == "1":
+        # A/B knob: select per-ray poses via a one-hot matmul instead of a
+        # gather. The gather's BACKWARD is a (B,4,4)->(N,4,4) scatter-add;
+        # the matmul form routes both directions through the MXU
+        # (onehot.T @ dL/dbatch_poses). Measured on v5e: a wash (DESIGN.md),
+        # ships default-off.
+        onehot = jax.nn.one_hot(
+            batch["image_indices"], poses.shape[0], dtype=poses.dtype
+        )
+        batch_poses = jnp.einsum(
+            "bn,nij->bij", onehot, poses, precision="highest"
+        )
+    else:
+        batch_poses = poses[batch["image_indices"]]      # (B, 4, 4) gather
     rays_o, rays_d = get_rays_for_pixels(
         batch["directions"], batch_poses, batch["us"], batch["vs"]
     )

@@ -36,6 +36,7 @@ from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric
 from ..models.nerf import count_params
 from ..parallel.mesh import create_mesh, is_primary_host, replicate, sync_string
+from ..utils.compile_cache import enable_compilation_cache
 from ..utils.logger import ExperimentLogger, TrainingMetrics
 from .checkpoints import (
     ckpt_needs_all_processes,
@@ -384,6 +385,12 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="checkpoint format: single-file npz, orbax "
                              "directories (multi-host coordinated), or "
                              "orbax_async (disk write overlaps training)")
+    parser.add_argument("--compile_cache", type=str, default="auto",
+                        help="persistent XLA compilation cache directory "
+                             "('auto' = $ROBUST_NERF_COMPILE_CACHE or "
+                             "~/.cache/robust_nerf_tpu/xla, 'off' = disable); "
+                             "reruns of an identical config skip the "
+                             "multi-second train-step compile")
 
 
 def maybe_init_multihost(args):
@@ -408,6 +415,7 @@ def main(argv=None):
     parser.add_argument("--val_every", type=int, default=5000)
     parser.add_argument("--exp_name", type=str, default="auto")
     args = parser.parse_args(argv)
+    enable_compilation_cache(args.compile_cache)
     maybe_init_multihost(args)
 
     config = build_config_from_args(args)

@@ -402,8 +402,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
     resolve_pose_opt_defaults(args)
 
+    from ..utils.compile_cache import enable_compilation_cache
     from .train import build_config_from_args, maybe_init_multihost
 
+    enable_compilation_cache(args.compile_cache)
     maybe_init_multihost(args)
 
     config = build_config_from_args(args)

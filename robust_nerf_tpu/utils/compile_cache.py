@@ -1,0 +1,83 @@
+"""Persistent XLA compilation cache.
+
+The reference has no equivalent (torch eager rebuilds nothing); under
+JAX every entry point pays a fresh XLA compile of the train/render
+programs on startup — tens of seconds for the full hierarchical train
+step on TPU. JAX's persistent compilation cache keyed on the HLO hash
+makes every rerun of an identical program (same config, same shapes)
+skip that: measured on the v5e tunnel (verify drive config, 200 iters),
+total CLI wall time drops from 71.9 s cold to 50.1 s warm with
+bit-identical training results, and the remote-compile-helper latency
+the cold path pays is highly variable (133-285 s observed on earlier
+sessions) while the warm path is stable (DESIGN.md "Persistent
+compilation cache"); executable deserialization is confirmed working
+through the axon remote backend.
+
+Wired into all CLIs via ``--compile_cache`` (default ``auto``) and into
+``bench.py`` / ``__graft_entry__.py``. ``auto`` resolves to
+``$ROBUST_NERF_COMPILE_CACHE`` if set, else ``~/.cache/robust_nerf_tpu/xla``;
+``off`` disables. If the user already configured
+``jax_compilation_cache_dir`` (flag or ``JAX_COMPILATION_CACHE_DIR``),
+their setting wins and this is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+
+_DEFAULT_ENV = "ROBUST_NERF_COMPILE_CACHE"
+
+# The directory THIS module last configured. A non-empty
+# jax_compilation_cache_dir different from this means the user set it
+# (flag or JAX_COMPILATION_CACHE_DIR) and always wins; matching it means
+# a later explicit call in the same process may re-point the cache.
+_ours: Optional[str] = None
+
+
+def default_cache_dir() -> str:
+    env = os.environ.get(_DEFAULT_ENV)
+    if env:
+        return env
+    return str(Path.home() / ".cache" / "robust_nerf_tpu" / "xla")
+
+
+def enable_compilation_cache(path: Optional[str] = "auto") -> Optional[str]:
+    """Point JAX's persistent compilation cache at ``path``.
+
+    path: "auto" (default location, see module docstring), "off"/""/None
+    to disable, or an explicit directory. Returns the directory in use
+    (creating it), or None when disabled / already user-configured.
+
+    Only programs that took >= 1 s to compile are persisted — the big
+    train/render programs, not the tiny host-side jits whose disk
+    round-trip would cost more than recompiling.
+    """
+    global _ours
+    if path in (None, "", "off"):
+        return None
+    # Respect an explicit user configuration (jax flag or env var) —
+    # but a dir this module itself set earlier may be re-pointed.
+    current = jax.config.jax_compilation_cache_dir
+    if current and current != _ours:
+        return None
+    cache_dir = default_cache_dir() if path == "auto" else str(path)
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # The persistent-cache singleton binds its directory at first use;
+        # updating the config alone would keep writing to a previously
+        # bound dir for the rest of the process. Resetting is cheap (drops
+        # an in-memory handle, never disk contents) and a no-op pre-init.
+        from jax._src import compilation_cache as _jcc
+
+        _jcc.reset_cache()
+    except (OSError, AttributeError) as e:  # unwritable dir / older jax
+        print(f"compile cache disabled ({e})")
+        return None
+    _ours = cache_dir
+    return cache_dir

@@ -12,6 +12,9 @@ import os
 # late here — switch the platform through jax.config and rebuild backends.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests that drive the CLI mains would otherwise persist XLA cache entries
+# to ~/.cache (utils/compile_cache.py "auto"); keep test runs hermetic.
+os.environ.setdefault("ROBUST_NERF_COMPILE_CACHE", "/tmp/rn_test_xla_cache")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
