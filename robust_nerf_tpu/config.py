@@ -131,6 +131,14 @@ class TPUConfig:
     steps_per_scan: int = 100
     # Data-parallel mesh axis size; 0 = use all visible devices.
     num_devices: int = 0
+    # Tensor (model) parallelism: shard the MLP hidden dimension this many
+    # ways over a second mesh axis (parallel/tp.py — Megatron-style
+    # alternating column/row trunk sharding, pure GSPMD placement). The
+    # device mesh becomes (num_devices / tensor_parallel, tensor_parallel);
+    # 1 = off (pure data parallel, the production default — the reference
+    # 256-wide MLP fits one chip easily; this axis exists for much wider
+    # models). Numerics are exact vs the replicated run (tests/test_tp.py).
+    tensor_parallel: int = 1
     # Fused Pallas posenc+MLP kernel. "auto" = measured-fastest per
     # context on TPU, which since round 3 is plain XLA for BOTH the
     # train step (127.3k vs 72.2k rays/s at batch 256 on v5e) and

@@ -36,6 +36,7 @@ from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric
 from ..models.nerf import count_params
 from ..parallel.mesh import create_mesh, is_primary_host, replicate, sync_string
+from ..parallel.tp import maybe_shard_state, mesh_for
 from ..utils.compile_cache import enable_compilation_cache
 from ..utils.logger import ExperimentLogger, TrainingMetrics
 from .checkpoints import (
@@ -90,7 +91,7 @@ def train(
     noised at ray-bank build; validation always clean.
     """
     cfg = config
-    mesh = create_mesh(cfg.tpu.num_devices)
+    mesh = mesh_for(cfg.tpu)
 
     if cfg.train.experiment_name in ("auto", "baseline", ""):
         exp_name = generate_experiment_name(cfg.data.scene_name, noise_config)
@@ -145,7 +146,7 @@ def train(
         state = restore_into(state, leaves)
         start_iter = int(meta["iteration"])
         print(f"Resumed from iteration {start_iter}")
-    state = replicate(state, mesh)
+    state = maybe_shard_state(state, mesh, cfg)
 
     if logger is not None:
         n_params = count_params(state.models["coarse"])
@@ -310,6 +311,7 @@ def build_config_from_args(args) -> NeRFConfig:
             use_pallas=args.use_pallas,
             shard_bank=args.shard_bank,
             microbatch=args.microbatch,
+            tensor_parallel=args.tensor_parallel,
         ),
     )
 
@@ -367,6 +369,12 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--shard_bank", action="store_true",
                         help="split the ray/pixel bank across devices "
                              "(1/D bank HBM per chip) instead of replicating")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="shard the MLP hidden dim this many ways over "
+                             "a second (model) mesh axis; the mesh becomes "
+                             "(devices/tp, tp). 1 = pure data parallel "
+                             "(default; the reference-size MLP fits one "
+                             "chip — use for much wider models)")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for pod/"
                              "multi-process runs (coordinator from env)")

@@ -40,6 +40,7 @@ from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric
 from ..models.nerf import count_params
 from ..parallel.mesh import create_mesh, is_primary_host, replicate, sync_string
+from ..parallel.tp import maybe_shard_state, mesh_for
 from ..utils.logger import ExperimentLogger, TrainingMetrics
 from .checkpoints import (
     ckpt_needs_all_processes,
@@ -90,7 +91,7 @@ def train_with_pose_optimization(
     if cfg.pose_opt is None:
         cfg.pose_opt = PoseOptConfig()
     po = cfg.pose_opt
-    mesh = create_mesh(cfg.tpu.num_devices)
+    mesh = mesh_for(cfg.tpu)
 
     if cfg.train.experiment_name in ("auto", "baseline", ""):
         exp_name = generate_experiment_name(
@@ -158,7 +159,7 @@ def train_with_pose_optimization(
             jax.device_get(state.initial_poses), dtype=np.float32
         )
         print(f"Resumed from iteration {start_iter}")
-    state = replicate(state, mesh)
+    state = maybe_shard_state(state, mesh, cfg)
 
     if logger is not None:
         n_params = count_params(state.models["coarse"])

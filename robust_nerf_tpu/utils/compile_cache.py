@@ -59,6 +59,12 @@ def enable_compilation_cache(path: Optional[str] = "auto") -> Optional[str]:
     global _ours
     if path in (None, "", "off"):
         return None
+    # "auto" persists only on accelerator backends: XLA:CPU serializes
+    # AOT machine code whose reload warns (and may SIGILL) under any
+    # toolchain/feature drift, and CPU compiles are cheap anyway. An
+    # explicit directory is always honored — the caller asked for it.
+    if path == "auto" and jax.default_backend() == "cpu":
+        return None
     # Respect an explicit user configuration (jax flag or env var) —
     # but a dir this module itself set earlier may be re-pointed.
     current = jax.config.jax_compilation_cache_dir

@@ -12,8 +12,9 @@ import os
 # late here — switch the platform through jax.config and rebuild backends.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Tests that drive the CLI mains would otherwise persist XLA cache entries
-# to ~/.cache (utils/compile_cache.py "auto"); keep test runs hermetic.
+# "auto" compile-cache mode is disabled on the CPU backend these tests
+# force (utils/compile_cache.py), but keep any stray persistence out of
+# ~/.cache anyway so test runs stay hermetic.
 os.environ.setdefault("ROBUST_NERF_COMPILE_CACHE", "/tmp/rn_test_xla_cache")
 
 import jax  # noqa: E402

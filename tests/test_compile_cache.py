@@ -70,9 +70,15 @@ def test_own_setting_can_be_repointed(tmp_path, restore_cache_config):
 def test_auto_env_override(tmp_path, monkeypatch, restore_cache_config):
     monkeypatch.setenv("ROBUST_NERF_COMPILE_CACHE", str(tmp_path / "env_cache"))
     assert default_cache_dir() == str(tmp_path / "env_cache")
-    jax.config.update("jax_compilation_cache_dir", "")
-    got = enable_compilation_cache("auto")
-    assert got == str(tmp_path / "env_cache")
+
+
+def test_auto_disabled_on_cpu(restore_cache_config):
+    """'auto' must not persist XLA:CPU AOT code (reload across toolchain
+    drift warns/SIGILLs); explicit dirs stay honored (test_explicit_dir).
+    The test env forces the CPU backend (conftest)."""
+    assert jax.default_backend() == "cpu"
+    assert enable_compilation_cache("auto") is None
+    assert not jax.config.jax_compilation_cache_dir
 
 
 def test_cache_round_trip(tmp_path, restore_cache_config):
