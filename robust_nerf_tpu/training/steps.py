@@ -286,16 +286,71 @@ def _microbatched_grads(grad_fn, batch, key, n_micro: int, mesh):
     inv = 1.0 / n_micro
     metrics = jax.tree_util.tree_map(lambda x: x * inv, metrics)
     grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
-    # PSNR is -10*log10(mse): recompute from the AVERAGED mse so the logged
-    # value is the batch PSNR (mean of per-microbatch PSNRs would be the
-    # wrong statistic).
+    return _fix_mb_psnr(metrics), grads
+
+
+def _fix_mb_psnr(metrics):
+    """PSNR is -10*log10(mse): recompute from the AVERAGED mse so the logged
+    value is the batch PSNR (mean of per-microbatch PSNRs would be the
+    wrong statistic)."""
     metrics["psnr_coarse"] = psnr_from_mse(metrics["loss_coarse"])
     if "psnr_fine" in metrics:
         metrics["psnr_fine"] = psnr_from_mse(metrics["loss_fine"])
         metrics["psnr"] = metrics["psnr_fine"]
     else:
         metrics["psnr"] = metrics["psnr_coarse"]
-    return metrics, grads
+    return metrics
+
+
+def _microbatched_grads_stream(grad_fn, batch, key, n_micro: int, mesh):
+    """Variant of `_microbatched_grads` for grad_fns that also produce
+    cotangents of their PER-RAY inputs: grad_fn(microbatch, key) ->
+    ((loss, metrics), (acc_grads, stream_grads)).
+
+    `acc_grads` (parameter gradients — shared across microbatches)
+    accumulate in the scan carry exactly as in `_microbatched_grads`;
+    `stream_grads` are cotangents of the microbatch's own input slice —
+    each belongs to DIFFERENT rays, so summing would be wrong — and are
+    emitted as scan outputs, then re-flattened to full-batch arrays. Both
+    carry the same 1/n_micro factor: the total loss is the mean of
+    per-microbatch means, so every cotangent scales identically."""
+    mbatches = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:]),
+        batch,
+    )
+    keys = jax.random.split(key, n_micro)
+
+    def body(carry, xs):
+        mbatch, k = xs
+        mbatch = constrain_batch(mbatch, mesh)
+        out, (acc_grads, stream_grads) = grad_fn(mbatch, k)
+        acc_m, acc_g = carry
+        acc_m = jax.tree_util.tree_map(jnp.add, acc_m, out[1])
+        acc_g = jax.tree_util.tree_map(jnp.add, acc_g, acc_grads)
+        return (acc_m, acc_g), stream_grads
+
+    zero_out, (zero_acc, _) = jax.eval_shape(
+        lambda: grad_fn(
+            jax.tree_util.tree_map(lambda x: x[0], mbatches), keys[0]
+        )
+    )
+    init = (
+        jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                               zero_out[1]),
+        jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                               zero_acc),
+    )
+    unroll = int(os.environ.get("ROBUST_NERF_MB_UNROLL", "1"))
+    (metrics, grads), stream = jax.lax.scan(
+        body, init, (mbatches, keys), unroll=max(1, min(unroll, n_micro))
+    )
+    inv = 1.0 / n_micro
+    metrics = jax.tree_util.tree_map(lambda x: x * inv, metrics)
+    grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
+    stream = jax.tree_util.tree_map(
+        lambda x: (x * inv).reshape((-1,) + x.shape[2:]), stream
+    )
+    return _fix_mb_psnr(metrics), grads, stream
 
 
 def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
@@ -354,6 +409,44 @@ def make_train_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
     return train_chunk
 
 
+def _regen_rays(pose_params, initial_poses, directions, image_indices,
+                us, vs):
+    """Current poses -> per-ray origins/directions, differentiable w.r.t.
+    the SE(3) deltas — the pose-opt ray-regeneration chain."""
+    poses = apply_pose_deltas(
+        initial_poses,
+        pose_params["rotation_deltas"],
+        pose_params["translation_deltas"],
+    )
+    if os.environ.get("ROBUST_NERF_ONEHOT_POSES", "0") == "1":
+        # A/B knob: select per-ray poses via a one-hot matmul instead of a
+        # gather. The gather's BACKWARD is a (B,4,4)->(N,4,4) scatter-add;
+        # the matmul form routes both directions through the MXU
+        # (onehot.T @ dL/dbatch_poses). Measured on v5e: a wash (DESIGN.md),
+        # ships default-off.
+        onehot = jax.nn.one_hot(image_indices, poses.shape[0],
+                                dtype=poses.dtype)
+        batch_poses = jnp.einsum(
+            "bn,nij->bij", onehot, poses, precision="highest"
+        )
+    else:
+        batch_poses = poses[image_indices]               # (B, 4, 4) gather
+    return get_rays_for_pixels(directions, batch_poses, us, vs)
+
+
+def _pose_reg(pose_params, po, rot_reg_on, trans_reg_on):
+    """Gated L2 pose-delta regularization (MEAN of squared deltas), exactly
+    the reference's term (train_pose_opt.py:377-390)."""
+    rotation_reg = jnp.mean(pose_params["rotation_deltas"] ** 2)
+    translation_reg = jnp.mean(pose_params["translation_deltas"] ** 2)
+    reg = (
+        jnp.where(rot_reg_on, po.rotation_reg_weight * rotation_reg, 0.0)
+        + jnp.where(trans_reg_on, po.translation_reg_weight * translation_reg,
+                    0.0)
+    )
+    return reg, rotation_reg, translation_reg
+
+
 def _pose_render_loss(models, pose_params, batch, initial_poses, key,
                       cfg: NeRFConfig, apply_fn, anneal_alpha=None,
                       rot_reg_on=True, trans_reg_on=True):
@@ -365,25 +458,9 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
     pose-opt delay + per-component learn flags + weight>0, exactly like the
     reference (train_pose_opt.py:377-390). rot_reg_on/trans_reg_on are
     traced booleans carrying that gate."""
-    poses = apply_pose_deltas(
-        initial_poses, pose_params["rotation_deltas"], pose_params["translation_deltas"]
-    )
-    if os.environ.get("ROBUST_NERF_ONEHOT_POSES", "0") == "1":
-        # A/B knob: select per-ray poses via a one-hot matmul instead of a
-        # gather. The gather's BACKWARD is a (B,4,4)->(N,4,4) scatter-add;
-        # the matmul form routes both directions through the MXU
-        # (onehot.T @ dL/dbatch_poses). Measured on v5e: a wash (DESIGN.md),
-        # ships default-off.
-        onehot = jax.nn.one_hot(
-            batch["image_indices"], poses.shape[0], dtype=poses.dtype
-        )
-        batch_poses = jnp.einsum(
-            "bn,nij->bij", onehot, poses, precision="highest"
-        )
-    else:
-        batch_poses = poses[batch["image_indices"]]      # (B, 4, 4) gather
-    rays_o, rays_d = get_rays_for_pixels(
-        batch["directions"], batch_poses, batch["us"], batch["vs"]
+    rays_o, rays_d = _regen_rays(
+        pose_params, initial_poses, batch["directions"],
+        batch["image_indices"], batch["us"], batch["vs"],
     )
     rbatch = {
         "rays_o": rays_o,
@@ -392,12 +469,8 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
     }
     loss, metrics = _render_loss(models, rbatch, key, cfg, apply_fn,
                                  anneal_alpha=anneal_alpha)
-    po = cfg.pose_opt
-    rotation_reg = jnp.mean(pose_params["rotation_deltas"] ** 2)
-    translation_reg = jnp.mean(pose_params["translation_deltas"] ** 2)
-    reg = (
-        jnp.where(rot_reg_on, po.rotation_reg_weight * rotation_reg, 0.0)
-        + jnp.where(trans_reg_on, po.translation_reg_weight * translation_reg, 0.0)
+    reg, rotation_reg, translation_reg = _pose_reg(
+        pose_params, cfg.pose_opt, rot_reg_on, trans_reg_on
     )
     metrics["rotation_reg"] = rotation_reg
     metrics["translation_reg"] = translation_reg
@@ -423,6 +496,10 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
     import os as _os
 
     _per_model = _os.environ.get("ROBUST_NERF_COMBINED_CLIP", "0") != "1"
+    # Default-on perf schedule for the microbatched path: regenerate rays
+    # once per step outside the scan (see the hoist branch below);
+    # ROBUST_NERF_HOIST_POSE_RAYS=0 restores the per-microbatch regen (A/B).
+    _hoist_rays = _os.environ.get("ROBUST_NERF_HOIST_POSE_RAYS", "1") != "0"
     optimizer = make_optimizer(cfg, per_model_clip=_per_model)
     pose_optimizer = make_pose_optimizer(cfg)
     schedule = make_lr_schedule(cfg.train.lr, cfg.train.lr_decay)
@@ -464,7 +541,72 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
         rot_reg_on = jnp.logical_and(rot_on, po.rotation_reg_weight > 0)
         trans_reg_on = jnp.logical_and(trans_on, po.translation_reg_weight > 0)
 
-        if n_micro > 1:
+        if n_micro > 1 and _hoist_rays:
+            # Hoist the pose->ray chain OUT of the microbatch scan: poses
+            # are constant within a step, so full-batch rays are computed
+            # ONCE via jax.vjp, the scan interior becomes the standard
+            # (fixed-ray) render step emitting per-ray cotangents, and pose
+            # gradients come back through a single VJP pullback after the
+            # scan. Exact (VJP is linear in the cotangent): the scan-summed
+            # ray cotangents ARE dL/d(rays), so pulling them back once
+            # equals pulling each microbatch back separately. The reg term
+            # never touches the rays — its gradient is closed-form
+            # (d/dp w*mean(p^2) = 2w p / numel) and added outside.
+            (rays_o, rays_d), regen_vjp = jax.vjp(
+                lambda p: _regen_rays(
+                    p, state.initial_poses, bank.directions,
+                    batch["image_indices"], batch["us"], batch["vs"],
+                ),
+                state.pose_params,
+            )
+            per_ray = {
+                "rays_o": rays_o,
+                "rays_d": rays_d,
+                "target_rgb": batch["target_rgb"],
+            }
+
+            def grad_fn(mb, k):
+                def loss_fn(m, ro, rd):
+                    rb = {"rays_o": ro, "rays_d": rd,
+                          "target_rgb": mb["target_rgb"]}
+                    return _render_loss(m, rb, k, cfg, apply_fn,
+                                        anneal_alpha=anneal_alpha)
+
+                (loss, mets), (gm, gro, grd) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2), has_aux=True
+                )(state.models, mb["rays_o"], mb["rays_d"])
+                return (loss, mets), (gm, {"rays_o": gro, "rays_d": grd})
+
+            metrics, grads, ray_cts = _microbatched_grads_stream(
+                grad_fn, per_ray, k_render, n_micro, mesh
+            )
+            (pose_grads,) = regen_vjp(
+                (ray_cts["rays_o"], ray_cts["rays_d"])
+            )
+            reg, rotation_reg, translation_reg = _pose_reg(
+                state.pose_params, po, rot_reg_on, trans_reg_on
+            )
+            metrics["rotation_reg"] = rotation_reg
+            metrics["translation_reg"] = translation_reg
+            metrics["pose_reg_loss"] = reg
+            metrics["loss"] = metrics["loss"] + reg
+            pose_grads = {
+                "rotation_deltas": pose_grads["rotation_deltas"]
+                + jnp.where(
+                    rot_reg_on,
+                    2.0 * po.rotation_reg_weight
+                    / state.pose_params["rotation_deltas"].size,
+                    0.0,
+                ) * state.pose_params["rotation_deltas"],
+                "translation_deltas": pose_grads["translation_deltas"]
+                + jnp.where(
+                    trans_reg_on,
+                    2.0 * po.translation_reg_weight
+                    / state.pose_params["translation_deltas"].size,
+                    0.0,
+                ) * state.pose_params["translation_deltas"],
+            }
+        elif n_micro > 1:
             # `directions` is the shared (H, W, 3) grid, not per-ray — keep
             # it out of the microbatch split and re-attach per slice.
             per_ray = {k: v for k, v in batch.items() if k != "directions"}

@@ -208,6 +208,51 @@ class TestPoseOptEquivalence:
         n1 = float(np.linalg.norm(states[1].pose_params["rotation_deltas"]))
         assert n0 > 0 and abs(n0 - n1) / n0 < 0.2
 
+    def test_hoisted_rays_match_per_microbatch_regen(
+        self, tiny_scene, tiny_config, monkeypatch
+    ):
+        """The hoisted path (rays regenerated once per step via jax.vjp,
+        cotangents streamed out of the scan) computes the SAME math as the
+        per-microbatch regen — identical up to float summation order, so
+        the 5-step trajectories must agree far tighter than the fused-vs-
+        microbatched comparison above. Reg weights nonzero so the
+        closed-form reg gradient is exercised."""
+        states, metrics = [], []
+        for hoist in ("1", "0"):
+            monkeypatch.setenv("ROBUST_NERF_HOIST_POSE_RAYS", hoist)
+            cfg = _det_cfg(tiny_config, microbatch=64)
+            cfg.pose_opt = PoseOptConfig(
+                pose_opt_delay=0, pose_lr=1e-3,
+                rotation_reg_weight=0.01, translation_reg_weight=0.001,
+            )
+            bank = build_pixel_bank(tiny_scene)
+            noisy, _ = add_noise_to_poses(
+                tiny_scene.poses, NoiseConfig(rotation_noise_deg=2.0, seed=0)
+            )
+            s = create_pose_opt_state(
+                jax.random.PRNGKey(0), cfg, jnp.asarray(noisy)
+            )
+            c = make_pose_opt_chunk(cfg, steps=5)
+            s, m = c(s, bank, jax.random.PRNGKey(1))
+            states.append(s)
+            metrics.append(m)
+
+        for key in ("loss", "pose_reg_loss", "rotation_reg"):
+            np.testing.assert_allclose(
+                np.asarray(metrics[0][key]), np.asarray(metrics[1][key]),
+                rtol=1e-5, atol=1e-7, err_msg=key,
+            )
+        np.testing.assert_allclose(
+            np.asarray(states[0].pose_params["rotation_deltas"]),
+            np.asarray(states[1].pose_params["rotation_deltas"]),
+            rtol=1e-3, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(states[0].pose_params["translation_deltas"]),
+            np.asarray(states[1].pose_params["translation_deltas"]),
+            rtol=1e-3, atol=1e-7,
+        )
+
 
 class TestShardedMicrobatch:
     def test_runs_on_mesh_and_matches_single_device(self, tiny_scene, tiny_config):
