@@ -11,11 +11,15 @@ export time.
 
 Artifact layout (a directory):
 
-    renderer.jaxexport   serialized Exported. Calling convention:
-                         call(params, rays_o, rays_d) where `params` is a
-                         flat TUPLE of arrays (leaf order below), rays_o /
-                         rays_d are (tile, 3) float32. Returns the
-                         render_rays dict (rgb_fine/depth_fine/... maps).
+    renderer.jaxexport   serialized Exported. Two kinds (meta.json "kind"):
+                         tile  — call(params, rays_o, rays_d), rays (tile, 3)
+                                 float32; returns the render_rays dict.
+                         frame — call(params, pose_4x4, focal); ray gen +
+                                 lax.map tiling run INSIDE the program; one
+                                 dispatch renders a whole frame to
+                                 {rgb (H,W,3), depth (H,W), acc (H,W)}.
+                         `params` is always a flat TUPLE of arrays (leaf
+                         order below).
     params.npz           leaf_00000..N arrays in calling-convention order.
     meta.json            tile, platforms, dtypes, config dicts, jax
                          version, leaf names — everything needed to drive
@@ -48,7 +52,7 @@ import numpy as np
 
 from ..config import ModelConfig, RenderConfig, config_to_dict
 from ..models.nerf import nerf_apply
-from ..ops.rendering import render_rays
+from ..ops.rendering import render_rays, render_rays_chunked
 
 ARTIFACT_VERSION = 1
 _EXPORT_FILE = "renderer.jaxexport"
@@ -108,6 +112,65 @@ def export_tile_renderer(
     )
 
 
+def export_frame_renderer(
+    models: Dict[str, dict],
+    model_cfg: ModelConfig,
+    render_cfg: RenderConfig,
+    H: int,
+    W: int,
+    *,
+    tile: int = 256,
+    compute_dtype: str = "float32",
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Export a FULL-FRAME renderer: call(params, pose, focal) ->
+    {rgb (H, W, 3), depth (H, W), acc (H, W)} of the finest pass.
+
+    The serving unit is one dispatch per frame — ray generation and the
+    lax.map tiling live INSIDE the compiled program, so there is no host
+    tile loop (unlike the tile artifact, whose consumer drives tiles).
+    Camera pose (4, 4) and focal are runtime arguments: one artifact
+    renders any viewpoint/zoom at the baked resolution.
+    """
+    from ..core.rays import get_ray_directions, get_rays
+
+    leaves, treedef = jax.tree_util.tree_flatten(models)
+    dtype = jnp.dtype(compute_dtype)
+
+    def frame_fn(params: Tuple[jnp.ndarray, ...], pose, focal):
+        mdl = jax.tree_util.tree_unflatten(treedef, list(params))
+        dirs = get_ray_directions(H, W, focal)
+        rays_o, rays_d = get_rays(dirs, pose)
+        out = render_rays_chunked(
+            mdl, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), None,
+            render_cfg, model_cfg, is_train=False, compute_dtype=dtype,
+            tile=tile, apply_fn=nerf_apply,
+        )
+        # serving payload: only the finest pass's maps — the coarse maps
+        # are DCE'd by XLA and never cross the device->host boundary
+        # (895 -> 668 ms/frame over the tunnel vs returning all six maps;
+        # at 668 ms the artifact is bit-identical to and exactly as fast
+        # as the in-process jit eval path — results/serving/SERVING.md)
+        which = "fine" if "rgb_fine" in out else "coarse"
+        return {
+            "rgb": out[f"rgb_{which}"].reshape(H, W, 3),
+            "depth": out[f"depth_{which}"].reshape(H, W),
+            "acc": out[f"acc_{which}"].reshape(H, W),
+        }
+
+    from jax import export as jexport
+
+    arg_leaves = tuple(
+        jax.ShapeDtypeStruct(leaf.shape, leaf.dtype) for leaf in leaves
+    )
+    pose = jax.ShapeDtypeStruct((4, 4), jnp.float32)
+    focal = jax.ShapeDtypeStruct((), jnp.float32)
+    platforms = tuple(platforms) if platforms else default_platforms()
+    return jexport.export(jax.jit(frame_fn), platforms=platforms)(
+        arg_leaves, pose, focal
+    )
+
+
 def save_serving_artifact(
     out_dir,
     models: Dict[str, dict],
@@ -117,15 +180,26 @@ def save_serving_artifact(
     tile: int = 256,
     compute_dtype: str = "float32",
     platforms: Optional[Sequence[str]] = None,
+    frame: Optional[Tuple[int, int]] = None,
 ) -> Path:
-    """Export + write the three-file serving artifact; returns the dir."""
+    """Export + write the three-file serving artifact; returns the dir.
+
+    frame=(H, W) exports the full-frame renderer (call(params, pose,
+    focal) -> (H, W, ...) maps) instead of the tile renderer.
+    """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    exported = export_tile_renderer(
-        models, model_cfg, render_cfg,
-        tile=tile, compute_dtype=compute_dtype, platforms=platforms,
-    )
+    if frame is not None:
+        exported = export_frame_renderer(
+            models, model_cfg, render_cfg, frame[0], frame[1],
+            tile=tile, compute_dtype=compute_dtype, platforms=platforms,
+        )
+    else:
+        exported = export_tile_renderer(
+            models, model_cfg, render_cfg,
+            tile=tile, compute_dtype=compute_dtype, platforms=platforms,
+        )
     (out_dir / _EXPORT_FILE).write_bytes(exported.serialize())
 
     leaves, _ = jax.tree_util.tree_flatten(models)
@@ -137,7 +211,9 @@ def save_serving_artifact(
 
     meta = {
         "artifact_version": ARTIFACT_VERSION,
+        "kind": "frame" if frame is not None else "tile",
         "tile": tile,
+        "frame": list(frame) if frame is not None else None,
         "platforms": list(exported.platforms),
         "compute_dtype": compute_dtype,
         "jax_version": jax.__version__,
@@ -145,7 +221,11 @@ def save_serving_artifact(
         "render_config": config_to_dict(render_cfg),
         "num_leaves": len(leaves),
         "leaf_names": names,
-        "calling_convention": "call(params_tuple, rays_o, rays_d) -> dict",
+        "calling_convention": (
+            "call(params_tuple, pose_4x4, focal) -> {rgb, depth, acc}"
+            if frame is not None
+            else "call(params_tuple, rays_o, rays_d) -> dict"
+        ),
     }
     (out_dir / _META_FILE).write_text(json.dumps(meta, indent=2))
     return out_dir
@@ -165,7 +245,30 @@ class ServingRenderer:
     def tile(self) -> int:
         return int(self.meta["tile"])
 
+    @property
+    def kind(self) -> str:
+        return self.meta.get("kind", "tile")
+
+    def render_frame(self, pose, focal) -> Dict[str, np.ndarray]:
+        """Frame-kind artifacts: one compiled call per (pose, focal)."""
+        if self.kind != "frame":
+            raise ValueError(
+                f"artifact kind is {self.kind!r}; render_frame needs a "
+                "--frame export"
+            )
+        out = self.exported.call(
+            self.params,
+            np.asarray(pose, dtype=np.float32),
+            np.float32(focal),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
     def render(self, rays_o, rays_d) -> Dict[str, np.ndarray]:
+        if self.kind != "tile":
+            raise ValueError(
+                f"artifact kind is {self.kind!r}; render(rays) needs a "
+                "tile export"
+            )
         rays_o = np.asarray(rays_o, dtype=np.float32)
         rays_d = np.asarray(rays_d, dtype=np.float32)
         n = rays_o.shape[0]
@@ -214,6 +317,12 @@ def main(argv=None):
     p.add_argument("--tile", type=int, default=256,
                    help="rays per compiled call (default 256 — the measured "
                         "eval sweet spot, DESIGN.md)")
+    p.add_argument("--frame", type=int, nargs=2, metavar=("H", "W"),
+                   default=None,
+                   help="export a full-frame renderer at this resolution "
+                        "(call(params, pose, focal) — ray gen + tiling "
+                        "inside the compiled program) instead of the tile "
+                        "renderer")
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms "
                         "(default: current backend + cpu)")
@@ -228,12 +337,13 @@ def main(argv=None):
     out = save_serving_artifact(
         args.out, models, cfg.model, cfg.render,
         tile=args.tile, compute_dtype=args.compute_dtype, platforms=platforms,
+        frame=tuple(args.frame) if args.frame else None,
     )
     meta = json.loads((out / _META_FILE).read_text())
     print(
         f"exported {out / _EXPORT_FILE} "
-        f"(tile {meta['tile']}, platforms {meta['platforms']}, "
-        f"{meta['num_leaves']} param leaves)"
+        f"({meta['kind']}, tile {meta['tile']}, frame {meta['frame']}, "
+        f"platforms {meta['platforms']}, {meta['num_leaves']} param leaves)"
     )
 
 

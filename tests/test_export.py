@@ -125,6 +125,47 @@ def test_params_swap_serves_new_checkpoint(models, artifact):
     )
 
 
+def test_frame_artifact_matches_chunked_render(models, tmp_path):
+    """Frame-kind export: whole (H, W) frame from one compiled call, equal
+    to the in-process ray-gen + chunked render at the same tile."""
+    from robust_nerf_tpu.core.rays import get_ray_directions, get_rays
+    from robust_nerf_tpu.ops.rendering import render_rays_chunked
+
+    H, W, focal = 24, 20, 18.0
+    out = save_serving_artifact(
+        tmp_path / "frame", models, SMALL, RCFG, tile=TILE, frame=(H, W)
+    )
+    srv = load_serving_artifact(out)
+    assert srv.kind == "frame"
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    got = srv.render_frame(pose, focal)
+    assert got["rgb"].shape == (H, W, 3)
+    assert got["depth"].shape == (H, W)
+
+    dirs = get_ray_directions(H, W, focal)
+    rays_o, rays_d = get_rays(dirs, jnp.asarray(pose))
+    want = render_rays_chunked(
+        models, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), None,
+        RCFG, SMALL, is_train=False, tile=TILE,
+    )
+    np.testing.assert_allclose(
+        got["rgb"],
+        np.asarray(want["rgb_fine"]).reshape(H, W, 3),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # kind guards: the wrong entry point raises
+    with pytest.raises(ValueError):
+        srv.render(np.zeros((TILE, 3)), np.zeros((TILE, 3)))
+    tile_srv = load_serving_artifact(
+        save_serving_artifact(tmp_path / "tile", models, SMALL, RCFG, tile=TILE)
+    )
+    with pytest.raises(ValueError):
+        tile_srv.render_frame(pose, focal)
+
+
 def test_cli_from_checkpoint(tmp_path):
     from robust_nerf_tpu.evalx.export import main
     from robust_nerf_tpu.training.checkpoints import save_checkpoint
