@@ -14,6 +14,7 @@ from ..config import NeRFConfig
 from ..evalx.metrics import LPIPSMetric, compute_mse, compute_psnr, compute_ssim
 from ..ops.rendering import render_image
 from ..utils.logger import ExperimentLogger, ValidationMetrics
+from ..utils.pipeline import pipeline_frames
 
 
 def evaluate(
@@ -38,13 +39,27 @@ def evaluate(
         poses = val_scene.poses
     n = min(num_images, val_scene.images.shape[0])
 
-    all_psnr, all_ssim, all_mse, all_lpips = [], [], [], []
-    for i in range(n):
-        out = render_image(
+    # Dispatch-ahead pipeline (utils/pipeline.py): frame i+1 renders while
+    # frame i is fetched + PNG-logged. Device-side metrics run after the
+    # loop so they don't queue behind the next render.
+    preds, depths = [None] * n, [None] * n
+
+    def dispatch(i):
+        return render_image(
             models, poses[i], val_scene.H, val_scene.W, val_scene.focal,
             cfg.render, cfg.model, cfg.tpu, mesh=mesh,
         )
-        pred = np.asarray(out["rgb"])
+
+    def consume(i, out):
+        preds[i] = np.asarray(out["rgb"])
+        if i < 3:
+            depths[i] = np.asarray(out["depth"])
+
+    pipeline_frames(n, dispatch, consume)
+
+    all_psnr, all_ssim, all_mse, all_lpips = [], [], [], []
+    for i in range(n):
+        pred = preds[i]
         target = np.asarray(val_scene.images[i])
         all_mse.append(float(compute_mse(pred, target)))
         all_psnr.append(float(compute_psnr(pred, target)))
@@ -56,7 +71,7 @@ def evaluate(
         if logger is not None and i < 3:
             logger.log_images(
                 tag=f"val_{i}", pred=pred, gt=target,
-                iteration=iteration, depth=np.asarray(out["depth"]),
+                iteration=iteration, depth=depths[i],
             )
 
     return ValidationMetrics(
