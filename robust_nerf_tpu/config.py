@@ -30,6 +30,21 @@ class ModelConfig:
     # 2/4 init seeds). softplus is gradient-alive everywhere, converges at
     # least as fast, and is the default; "relu" gives strict parity.
     sigma_activation: str = "softplus"
+    # Model family. "mlp" is the reference-parity frequency-encoded MLP
+    # (all fields above); "hashgrid" is the TPU-native multiresolution
+    # hash-grid family (models/hashgrid.py, Instant-NGP-style): L feature
+    # tables + a tiny MLP, reaching the same PSNR in far fewer seconds.
+    # No reference counterpart; hash_* fields below apply only to it.
+    architecture: str = "mlp"
+    hash_levels: int = 12          # multiresolution levels L
+    hash_features: int = 2         # features per level F
+    hash_log2_size: int = 17       # per-level table cap = 2^this entries
+    hash_base_res: int = 16        # coarsest grid resolution
+    hash_max_res: int = 512        # finest grid resolution
+    hash_hidden_dim: int = 64      # tiny-MLP width
+    hash_layers: int = 1           # hidden layers before the sigma head
+    hash_color_layers: int = 2     # hidden layers in the color branch
+    scene_bound: float = 1.5       # AABB half-extent normalizing positions
 
 
 @dataclass(frozen=True)

@@ -290,17 +290,34 @@ def nerf_apply(
     return rgb, sigma
 
 
+def model_apply_fn(cfg: Optional[ModelConfig] = None):
+    """The apply fn for cfg.architecture ("mlp" -> nerf_apply,
+    "hashgrid" -> models/hashgrid.py). All apply fns share one signature:
+    (params, pts, viewdirs, cfg, compute_dtype, anneal_alpha[, f8_residuals])."""
+    if cfg is not None and getattr(cfg, "architecture", "mlp") == "hashgrid":
+        from .hashgrid import hashgrid_apply
+
+        return hashgrid_apply
+    return nerf_apply
+
+
 def create_nerf(
     key: jax.Array, cfg: Optional[ModelConfig] = None, use_hierarchical: bool = True
 ) -> Dict[str, Params]:
-    """Independent coarse (+ fine) parameter trees.
+    """Independent coarse (+ fine) parameter trees for cfg.architecture.
 
-    Reference semantics: noisy_src/model.py:199-221.
+    Reference semantics for the "mlp" family: noisy_src/model.py:199-221.
+    The "hashgrid" family keeps the same coarse/fine structure so
+    hierarchical sampling, checkpoints, and sharding treat both alike.
     """
     if cfg is None:
         cfg = ModelConfig()
+    if getattr(cfg, "architecture", "mlp") == "hashgrid":
+        from .hashgrid import init_hashgrid_params as init_fn
+    else:
+        init_fn = init_nerf_params
     kc, kf = jax.random.split(key)
-    models = {"coarse": init_nerf_params(kc, cfg)}
+    models = {"coarse": init_fn(kc, cfg)}
     if use_hierarchical:
-        models["fine"] = init_nerf_params(kf, cfg)
+        models["fine"] = init_fn(kf, cfg)
     return models

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, RenderConfig, TPUConfig
 from ..core.rays import sample_along_rays, sample_hierarchical
-from ..models.nerf import nerf_apply
+from ..models.nerf import model_apply_fn, nerf_apply
 
 
 def resolve_fused_resample(setting: str) -> Optional[bool]:
@@ -84,7 +84,7 @@ def render_rays(
     model_cfg: ModelConfig,
     is_train: bool = True,
     compute_dtype=jnp.float32,
-    apply_fn=nerf_apply,
+    apply_fn=None,
     anneal_alpha=None,
     fused_resample: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -93,10 +93,13 @@ def render_rays(
     Reference semantics: noisy_src/rendering.py:119-240 — train mode enables
     stratified jitter + density noise; eval uses deterministic hierarchical
     sampling (det = not is_train). `apply_fn` lets the Pallas fused-MLP path
-    drop in without touching the pipeline. `fused_resample` routes the PDF
-    inversion through the Pallas resample kernel (None = default off — see
+    drop in without touching the pipeline (None = resolve from
+    model_cfg.architecture). `fused_resample` routes the PDF inversion
+    through the Pallas resample kernel (None = default off — see
     TPUConfig.fused_resample for the measurement).
     """
+    if apply_fn is None:
+        apply_fn = model_apply_fn(model_cfg)
     perturb = render_cfg.perturb and is_train
     raw_noise_std = render_cfg.raw_noise_std if is_train else 0.0
     if fused_resample is None:
@@ -162,7 +165,7 @@ def render_rays_chunked(
     is_train: bool = False,
     compute_dtype=jnp.float32,
     tile: int = 4096,
-    apply_fn=nerf_apply,
+    apply_fn=None,
     fused_resample: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render arbitrarily many rays via lax.map over fixed-size tiles.
@@ -197,9 +200,13 @@ def render_rays_chunked(
     }
 
 
-def _eval_apply_fn(tpu_cfg):
+def _eval_apply_fn(model_cfg, tpu_cfg):
     from .pallas import pallas_enabled
 
+    if getattr(model_cfg, "architecture", "mlp") != "mlp":
+        # Pallas fused kernels implement the frequency-MLP only; other
+        # families resolve through the architecture dispatcher.
+        return model_apply_fn(model_cfg)
     if pallas_enabled(tpu_cfg, context="eval"):
         from .pallas.fused_mlp import nerf_apply_fused
 
@@ -211,7 +218,7 @@ def _eval_apply_fn(tpu_cfg):
 def _render_image_jit(models, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg):
     from ..core.rays import get_ray_directions, get_rays
 
-    apply_fn = _eval_apply_fn(tpu_cfg)
+    apply_fn = _eval_apply_fn(model_cfg, tpu_cfg)
     directions = get_ray_directions(H, W, focal)
     rays_o, rays_d = get_rays(directions, pose)
     out = render_rays_chunked(
@@ -254,7 +261,7 @@ def _render_image_sharded_jit(
     from ..core.rays import get_ray_directions, get_rays
     from ..parallel.mesh import DATA_AXIS, pad_to_multiple
 
-    apply_fn = _eval_apply_fn(tpu_cfg)
+    apply_fn = _eval_apply_fn(model_cfg, tpu_cfg)
     directions = get_ray_directions(H, W, focal)
     rays_o, rays_d = get_rays(directions, pose)
     n = H * W

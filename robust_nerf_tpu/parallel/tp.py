@@ -66,6 +66,12 @@ def maybe_shard_state(state, mesh: Mesh, cfg):
 
     if model_axis_size(mesh) <= 1:
         return replicate(state, mesh)
+    if getattr(cfg.model, "architecture", "mlp") != "mlp":
+        raise ValueError(
+            "tensor_parallel > 1 implements the frequency-MLP family only; "
+            f"architecture={cfg.model.architecture!r} params (hash tables + "
+            "a tiny MLP) fit one chip by design — use data parallelism"
+        )
     if isinstance(state, PoseOptState):
         return shard_pose_opt_state(state, mesh, cfg)
     return shard_train_state(state, mesh, cfg)

@@ -157,6 +157,22 @@ def _apply_fn_for(cfg: NeRFConfig):
     from ..ops.pallas import pallas_enabled
 
     f8 = bool(getattr(cfg.tpu, "f8_residuals", False))
+    if getattr(cfg.model, "architecture", "mlp") != "mlp":
+        # Non-MLP families (hashgrid) resolve through the architecture
+        # dispatcher; the Pallas fused kernels and f8 residuals implement
+        # the frequency-MLP only.
+        if cfg.tpu.use_pallas in ("on", True):
+            warnings.warn(
+                "TPUConfig.use_pallas='on' has no effect for architecture="
+                f"{cfg.model.architecture!r} (fused kernels are MLP-only)",
+                stacklevel=2,
+            )
+        from ..models.nerf import model_apply_fn
+
+        fn = model_apply_fn(cfg.model)
+        if cfg.tpu.remat:
+            fn = jax.checkpoint(fn, static_argnums=(3, 4))
+        return fn
     if pallas_enabled(cfg.tpu, context="train"):
         if f8:
             warnings.warn(

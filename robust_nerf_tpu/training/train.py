@@ -275,7 +275,19 @@ def train(
 
 def build_config_from_args(args) -> NeRFConfig:
     return NeRFConfig(
-        model=ModelConfig(sigma_activation=args.sigma_activation),
+        model=ModelConfig(
+            sigma_activation=args.sigma_activation,
+            architecture=args.architecture,
+            hash_levels=args.hash_levels,
+            hash_features=args.hash_features,
+            hash_log2_size=args.hash_log2_size,
+            hash_base_res=args.hash_base_res,
+            hash_max_res=args.hash_max_res,
+            hash_hidden_dim=args.hash_hidden_dim,
+            hash_layers=args.hash_layers,
+            hash_color_layers=args.hash_color_layers,
+            scene_bound=args.scene_bound,
+        ),
         render=RenderConfig(
             num_samples=args.num_samples,
             num_samples_fine=args.num_samples_fine,
@@ -347,6 +359,22 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="procedural-scene image resolution")
     parser.add_argument("--synthetic_textured", action="store_true",
                         help="texture the procedural scene's albedo")
+    parser.add_argument("--architecture", type=str, default="mlp",
+                        choices=["mlp", "hashgrid"],
+                        help="model family: 'mlp' = reference-parity "
+                        "frequency MLP; 'hashgrid' = TPU-native "
+                        "multiresolution hash grid (models/hashgrid.py — "
+                        "same PSNR in far fewer seconds; try --lr 1e-2)")
+    parser.add_argument("--hash_levels", type=int, default=12)
+    parser.add_argument("--hash_features", type=int, default=2)
+    parser.add_argument("--hash_log2_size", type=int, default=17)
+    parser.add_argument("--hash_base_res", type=int, default=16)
+    parser.add_argument("--hash_max_res", type=int, default=512)
+    parser.add_argument("--hash_hidden_dim", type=int, default=64)
+    parser.add_argument("--hash_layers", type=int, default=1)
+    parser.add_argument("--hash_color_layers", type=int, default=2)
+    parser.add_argument("--scene_bound", type=float, default=1.5,
+                        help="AABB half-extent normalizing hash-grid inputs")
     parser.add_argument("--sigma_activation", type=str, default="softplus",
                         choices=("softplus", "relu"),
                         help="density activation: softplus (default, "
