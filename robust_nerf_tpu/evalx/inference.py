@@ -29,6 +29,7 @@ from ..config import NeRFConfig, config_from_dict, config_to_dict
 from ..core.noise import NoiseConfig, add_noise_to_pose
 from ..data.synthetic import load_scene
 from ..evalx.metrics import LPIPSMetric, compute_mse, compute_psnr, compute_ssim
+from ..ops.occupancy import OccConfig, build_density_grid, render_image_occ
 from ..ops.rendering import render_image
 from ..training.checkpoints import find_checkpoint, load_checkpoint_raw, restore_into
 from ..training.steps import create_pose_opt_state, create_train_state
@@ -62,9 +63,11 @@ def evaluate_test_set(
     noise_config: Optional[NoiseConfig] = None,
     max_images: Optional[int] = None,
     save_images: bool = True,
+    occ=None,
 ) -> Dict:
     """Per-image render + metrics over a test split
-    (reference: inference.py:144-318)."""
+    (reference: inference.py:144-318). `occ=(grid, OccConfig)` routes frames
+    through the density-grid accelerated renderer (ops/occupancy.py)."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     img_dir = output_dir / "test_images"
@@ -96,6 +99,11 @@ def evaluate_test_set(
                 pose, noise_config.rotation_noise_deg, trans_std, rng=rng
             )
         t_dispatch[i] = time.time()
+        if occ is not None:
+            return render_image_occ(
+                models, occ[0], pose, test_scene.H, test_scene.W,
+                test_scene.focal, cfg.render, cfg.model, cfg.tpu, occ[1],
+            )
         return render_image(
             models, pose, test_scene.H, test_scene.W, test_scene.focal,
             cfg.render, cfg.model, cfg.tpu,
@@ -254,10 +262,12 @@ def render_video(
     output_dir: Path,
     noise_config: Optional[NoiseConfig] = None,
     fps: int = 30,
+    occ=None,
 ) -> Path:
     """Render frames (optional per-frame pose noise) and assemble an mp4
     via ffmpeg; keep PNG frames if ffmpeg is unavailable
-    (reference: inference.py:364-443)."""
+    (reference: inference.py:364-443). `occ=(grid, OccConfig)` routes frames
+    through the density-grid accelerated renderer."""
     output_dir = Path(output_dir)
     frames_dir = output_dir / "frames"
     frames_dir.mkdir(parents=True, exist_ok=True)
@@ -280,6 +290,11 @@ def render_video(
             trans_std = noise_config.get_translation_std(camera_distance)
             pose, _ = add_noise_to_pose(
                 pose, noise_config.rotation_noise_deg, trans_std, rng=rng
+            )
+        if occ is not None:
+            return render_image_occ(
+                models, occ[0], pose, H, W, focal,
+                cfg.render, cfg.model, cfg.tpu, occ[1],
             )
         return render_image(models, pose, H, W, focal, cfg.render, cfg.model, cfg.tpu)
 
@@ -352,6 +367,16 @@ def main(argv=None):
     parser.add_argument("--translation_noise", type=float, default=0.0)
     parser.add_argument("--translation_noise_pct", type=float, default=0.0)
     parser.add_argument("--noise_seed", type=int, default=None)
+    # density-grid accelerated rendering (ops/occupancy.py; no reference
+    # counterpart — drops the coarse-MLP pass from every frame)
+    parser.add_argument("--occ_grid", type=int, default=0,
+                        help="bake a density grid at this resolution and "
+                             "render through it (0 = off; 128 is typical)")
+    parser.add_argument("--occ_probes", type=int, default=64,
+                        help="grid probes per ray (replaces coarse samples)")
+    parser.add_argument("--occ_samples", type=int, default=0,
+                        help="model evals per ray on the occ path "
+                             "(0 = num_samples + num_samples_fine)")
     parser.add_argument("--compile_cache", type=str, default="auto",
                         help="persistent XLA compilation cache directory "
                              "('auto' = default location, 'off' = disable)")
@@ -383,11 +408,30 @@ def main(argv=None):
     ckpt_dir = ckpt_dir if ckpt_dir.is_dir() else ckpt_dir.parent
     output_dir = Path(args.output_dir) if args.output_dir else ckpt_dir / "inference"
 
+    occ = None
+    if args.occ_grid > 0:
+        occ_cfg = OccConfig(
+            resolution=args.occ_grid,
+            num_probes=args.occ_probes,
+            num_samples=args.occ_samples,
+        )
+        t0 = time.time()
+        grid = build_density_grid(models, cfg.model, occ_cfg)
+        # host-value fetch, not block_until_ready: honest timing over the
+        # tunnel (CLAUDE.md) AND a useful diagnostic
+        occupied = float((grid > 0.01).mean())
+        occ = (grid, occ_cfg)
+        print(
+            f"Baked {args.occ_grid}^3 density grid in {time.time() - t0:.2f}s "
+            f"(occupied fraction {occupied:.3f})"
+        )
+
     if args.mode == "test":
         scene = load_scene(cfg.data, args.split)
         agg = evaluate_test_set(
             models, cfg, scene, output_dir, noise_config,
             max_images=args.max_images, save_images=not args.no_save_images,
+            occ=occ,
         )
         print(
             f"Test metrics: PSNR {agg['psnr_mean']:.2f} +/- {agg['psnr_std']:.2f}, "
@@ -400,15 +444,21 @@ def main(argv=None):
         )
         render_video(
             models, cfg, poses, scene.H, scene.W, scene.focal,
-            output_dir, noise_config, fps=args.fps,
+            output_dir, noise_config, fps=args.fps, occ=occ,
         )
     elif args.mode == "single":
         scene = load_scene(cfg.data, args.split)
         idx = args.image_idx
-        out = render_image(
-            models, scene.poses[idx], scene.H, scene.W, scene.focal,
-            cfg.render, cfg.model, cfg.tpu,
-        )
+        if occ is not None:
+            out = render_image_occ(
+                models, occ[0], scene.poses[idx], scene.H, scene.W,
+                scene.focal, cfg.render, cfg.model, cfg.tpu, occ[1],
+            )
+        else:
+            out = render_image(
+                models, scene.poses[idx], scene.H, scene.W, scene.focal,
+                cfg.render, cfg.model, cfg.tpu,
+            )
         output_dir.mkdir(parents=True, exist_ok=True)
         save_png(np.asarray(out["rgb"]), output_dir / f"single_{idx:03d}_pred.png")
         save_png(

@@ -1,0 +1,300 @@
+"""Density-grid accelerated rendering — the eval/serving fast path.
+
+Instant-NGP-style occupancy acceleration (Mueller et al. 2022, PAPERS.md)
+maintains a bitfield grid and ray-marches with per-ray variable step counts —
+a dynamic-shape pattern that maps poorly onto XLA. The TPU-native analog
+keeps every shape static:
+
+1. `build_density_grid` bakes the trained model's density field into a dense
+   (R, R, R) lattice ONCE per checkpoint (pure model evals, lax.map-tiled —
+   milliseconds on a chip), optionally max-pool dilated for conservatism.
+2. `render_rays_occgrid` replaces the coarse-MLP pass of the hierarchical
+   pipeline with trilinear probes into that grid: gathers + VPU compositing,
+   no MXU work. The probe weights drive the same inverse-CDF resampling
+   (`sample_pdf`), and the real model is evaluated exactly once, on the
+   importance-placed samples.
+
+Per-ray model cost drops from `num_samples + (num_samples+num_samples_fine)`
+point evals (the reference always renders coarse THEN fine,
+noisy_src/rendering.py:119-240) to just the final pass — 25% fewer MLP evals
+at the default sample counts, 2x fewer with `num_samples=128`. No reference
+counterpart; an inference-time accelerator for frozen models (training keeps
+the coarse network, which is jointly optimized). Quality is validated
+against the standard renderer in tests/test_occupancy.py and gated behind
+`--occ_grid` on the inference CLI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, RenderConfig, TPUConfig
+from ..models.nerf import model_apply_fn
+from .rendering import raw2outputs, render_rays_chunked
+
+# Voxel-corner offsets, shape (8, 3) — shared with the hash-grid encoder's
+# layout (models/hashgrid.py), but indexing a dense (R, R, R) lattice here.
+_CORNERS = jnp.array(
+    [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
+)
+
+
+@dataclass(frozen=True)
+class OccConfig:
+    """Static knobs for grid-accelerated rendering (jit-hashable)."""
+
+    resolution: int = 128   # lattice points per axis of the baked grid
+    num_probes: int = 64    # free grid probes per ray (replaces the coarse pass)
+    num_samples: int = 0    # model evals per ray; 0 = num_samples + num_samples_fine
+    dilate: int = 1         # conservative max-pool half-width (0 = off)
+    # Fraction of each ray's probe-weight mass respread uniformly over the
+    # bins before inverse-CDF sampling. Importance-ONLY placement starves
+    # the density ramps the grid underestimates and plateaus ~20 dB below
+    # the hierarchical renderer (which keeps its 64 uniform coarse z's);
+    # 0.2 restores parity on the analytic-oracle A/B (36.7 -> 57.0 dB vs
+    # the standard renderer's 58.1, tests/test_occupancy.py) while still
+    # concentrating 80% of samples where the grid says the surface is.
+    uniform_frac: float = 0.2
+
+
+def grid_trilinear(grid: jnp.ndarray, x01: jnp.ndarray) -> jnp.ndarray:
+    """Trilinearly interpolate a vertex-centered (R, R, R) lattice.
+
+    `x01` is (..., 3) in [0, 1]^3; lattice vertices sit at k/(R-1). Clamped
+    at the boundary (queries at 1.0 read the last vertex exactly).
+    """
+    R = grid.shape[0]
+    lead = x01.shape[:-1]
+    xl = jnp.clip(x01.reshape(-1, 3), 0.0, 1.0) * (R - 1)
+    x0 = jnp.minimum(jnp.floor(xl).astype(jnp.int32), R - 2)
+    frac = xl - x0.astype(xl.dtype)                          # (M, 3)
+
+    corner = x0[:, None, :] + _CORNERS[None, :, :]           # (M, 8, 3)
+    idx = corner[..., 0] + R * (corner[..., 1] + R * corner[..., 2])
+    vals = grid.reshape(-1)[idx.reshape(-1)].reshape(idx.shape)  # (M, 8)
+
+    cbits = _CORNERS.astype(frac.dtype)                      # (8, 3)
+    w = jnp.prod(
+        cbits[None] * frac[:, None, :]
+        + (1.0 - cbits[None]) * (1.0 - frac[:, None, :]),
+        axis=-1,
+    )                                                        # (M, 8)
+    return jnp.sum(w * vals, axis=-1).reshape(lead)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model_cfg", "occ_cfg", "apply_fn", "compute_dtype"),
+)
+def _build_grid_jit(params, model_cfg, occ_cfg, apply_fn, compute_dtype):
+    R = occ_cfg.resolution
+    b = model_cfg.scene_bound
+    coords = jnp.linspace(-b, b, R, dtype=jnp.float32)
+    # index order (z, y, x) -> flattened idx = x + R*(y + R*z), matching
+    # grid_trilinear's index formula
+    zz, yy, xx = jnp.meshgrid(coords, coords, coords, indexing="ij")
+    pts = jnp.stack([xx, yy, zz], axis=-1).reshape(R, R * R, 3)
+
+    def row(pts_row):
+        # sigma is view-independent in both families (the view branch feeds
+        # only rgb), but apply_fn's color head still needs a directions
+        # input when use_view_dirs — zeros are fine, rgb is discarded
+        _, sigma = apply_fn(
+            params, pts_row, jnp.zeros_like(pts_row), model_cfg, compute_dtype
+        )
+        return sigma.reshape(-1)
+
+    grid = jax.lax.map(row, pts).reshape(R, R, R).astype(jnp.float32)
+    if occ_cfg.dilate > 0:
+        k = 2 * occ_cfg.dilate + 1
+        grid = jax.lax.reduce_window(
+            grid, -jnp.inf, jax.lax.max,
+            window_dimensions=(k, k, k), window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+    return grid
+
+
+def build_density_grid(
+    models: Dict[str, dict],
+    model_cfg: ModelConfig,
+    occ_cfg: Optional[OccConfig] = None,
+    which: Optional[str] = None,
+    apply_fn=None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Bake a model's density field into a dense (R, R, R) float32 lattice.
+
+    Vertices span the model's scene AABB [-scene_bound, scene_bound]^3 and
+    store the ACTIVATED density (the apply-fn contract already applies
+    relu/softplus). `which` picks the model ("fine" when present — it is the
+    one whose renders ship); `dilate` max-pools the lattice so geometry near
+    a vertex is never lost to undersampling between vertices.
+    """
+    if occ_cfg is None:
+        occ_cfg = OccConfig()
+    if apply_fn is None:
+        apply_fn = model_apply_fn(model_cfg)
+    if which is None:
+        which = "fine" if "fine" in models else "coarse"
+    return _build_grid_jit(
+        models[which], model_cfg, occ_cfg, apply_fn, jnp.dtype(compute_dtype)
+    )
+
+
+def occgrid_weights(
+    grid: jnp.ndarray,       # (R, R, R) baked density lattice
+    rays_o: jnp.ndarray,     # (N, 3)
+    rays_d: jnp.ndarray,     # (N, 3)
+    near: float,
+    far: float,
+    num_probes: int,
+    bound: float,
+):
+    """Compositing weights along rays from grid probes alone (no model).
+
+    Probes sit at the same linspace depths the coarse pass would use
+    (core/rays.py:sample_along_rays, perturb off); density outside the
+    baked AABB is exactly zero (the grid only covers the bound — clamping
+    instead would smear boundary density along the whole ray tail).
+    Returns (weights (N, P), z_vals (N, P)).
+    """
+    batch_shape = rays_o.shape[:-1]
+    t = jnp.linspace(near, far, num_probes, dtype=jnp.float32)
+    z_vals = jnp.broadcast_to(t, batch_shape + (num_probes,))
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    x01 = (pts / bound + 1.0) * 0.5
+    in_bounds = jnp.all((x01 >= 0.0) & (x01 <= 1.0), axis=-1)
+    sigma = jnp.where(in_bounds, grid_trilinear(grid, x01), 0.0)
+    out = raw2outputs(
+        jnp.zeros(sigma.shape + (3,), sigma.dtype), sigma, z_vals, rays_d,
+        white_background=False,
+    )
+    return out["weights"], z_vals
+
+
+def render_rays_occgrid(
+    models: Dict[str, dict],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: Optional[jax.Array],
+    render_cfg: RenderConfig,
+    model_cfg: ModelConfig,
+    grid: jnp.ndarray,
+    occ_cfg: OccConfig,
+    is_train: bool = False,
+    compute_dtype=jnp.float32,
+    apply_fn=None,
+) -> Dict[str, jnp.ndarray]:
+    """Grid-guided single-pass render of one ray batch.
+
+    The coarse stage of render_rays (ops/rendering.py:78-155) becomes free
+    grid probes; `sample_pdf` places the model samples (det in eval, exactly
+    like hierarchical sampling); the model runs ONCE. Output keys are the
+    `*_fine` set — this IS the fine render, reached without the coarse MLP.
+    """
+    from ..core.rays import sample_pdf
+
+    if apply_fn is None:
+        apply_fn = model_apply_fn(model_cfg)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_pdf, k_noise = jax.random.split(key)
+    raw_noise_std = render_cfg.raw_noise_std if is_train else 0.0
+
+    n_samples = occ_cfg.num_samples or (
+        render_cfg.num_samples + render_cfg.num_samples_fine
+    )
+    weights, z_probe = occgrid_weights(
+        grid, rays_o, rays_d, render_cfg.near, render_cfg.far,
+        occ_cfg.num_probes, model_cfg.scene_bound,
+    )
+    bins = 0.5 * (z_probe[..., 1:] + z_probe[..., :-1])
+    w_int = weights[..., 1:-1]
+    if occ_cfg.uniform_frac > 0.0:
+        # respread a fraction of the ray's weight mass uniformly (see
+        # OccConfig.uniform_frac); rays that miss the AABB keep zero mass
+        # and fall through to sample_pdf's own 1e-5 floor
+        w_int = w_int + occ_cfg.uniform_frac * jnp.sum(
+            w_int, axis=-1, keepdims=True
+        ) / w_int.shape[-1]
+    z_samples = sample_pdf(k_pdf, bins, w_int, n_samples, det=not is_train)
+    z_vals = jnp.sort(z_samples, axis=-1)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    vdirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    which = "fine" if "fine" in models else "coarse"
+    rgb, sigma = apply_fn(models[which], pts, vdirs, model_cfg, compute_dtype)
+    out = raw2outputs(
+        rgb, sigma, z_vals, rays_d,
+        key=k_noise, raw_noise_std=raw_noise_std,
+        white_background=render_cfg.white_background,
+    )
+    return {
+        "rgb_fine": out["rgb_map"],
+        "depth_fine": out["depth_map"],
+        "acc_fine": out["acc_map"],
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("H", "W", "render_cfg", "model_cfg", "tpu_cfg", "occ_cfg"),
+)
+def _render_image_occ_jit(
+    models, grid, pose, H, W, focal, render_cfg, model_cfg, tpu_cfg, occ_cfg
+):
+    from ..core.rays import get_ray_directions, get_rays
+
+    directions = get_ray_directions(H, W, focal)
+    rays_o, rays_d = get_rays(directions, pose)
+
+    def render_fn(m, ro_t, rd_t, k_t):
+        return render_rays_occgrid(
+            m, ro_t, rd_t, k_t, render_cfg, model_cfg, grid, occ_cfg,
+            is_train=False, compute_dtype=jnp.dtype(tpu_cfg.compute_dtype),
+        )
+
+    out = render_rays_chunked(
+        models, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), None,
+        render_cfg, model_cfg, tile=tpu_cfg.eval_tile, render_fn=render_fn,
+    )
+    return {
+        "rgb": out["rgb_fine"].reshape(H, W, 3),
+        "depth": out["depth_fine"].reshape(H, W),
+        "acc": out["acc_fine"].reshape(H, W),
+    }
+
+
+def render_image_occ(
+    models,
+    grid: jnp.ndarray,
+    pose,
+    H: int,
+    W: int,
+    focal: float,
+    render_cfg: RenderConfig,
+    model_cfg: ModelConfig,
+    tpu_cfg: Optional[TPUConfig] = None,
+    occ_cfg: Optional[OccConfig] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full-frame render through the grid-accelerated path.
+
+    Drop-in for ops.rendering.render_image (same outputs/tiling); `grid`
+    comes from `build_density_grid` on the same models.
+    """
+    if tpu_cfg is None:
+        tpu_cfg = TPUConfig()
+    if occ_cfg is None:
+        occ_cfg = OccConfig()
+    pose = jnp.asarray(pose, jnp.float32)
+    return _render_image_occ_jit(
+        models, grid, pose, H, W, float(focal), render_cfg, model_cfg,
+        tpu_cfg, occ_cfg,
+    )

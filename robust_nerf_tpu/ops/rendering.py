@@ -167,12 +167,17 @@ def render_rays_chunked(
     tile: int = 4096,
     apply_fn=None,
     fused_resample: Optional[bool] = None,
+    render_fn=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render arbitrarily many rays via lax.map over fixed-size tiles.
 
     TPU-native replacement for the reference's sequential Python chunk loop
     (noisy_src/rendering.py:299-322): pad to a tile multiple, scan tiles
     inside one jitted program, strip the padding.
+
+    `render_fn(models, rays_o, rays_d, key) -> dict` overrides the per-tile
+    renderer (default: `render_rays` with the remaining knobs) — the hook
+    the grid-accelerated path (ops/occupancy.py) plugs into.
     """
     n = rays_o.shape[0]
     tile = min(tile, max(n, 1))
@@ -188,6 +193,8 @@ def render_rays_chunked(
 
     def render_tile(args):
         ro_t, rd_t, k_t = args
+        if render_fn is not None:
+            return render_fn(models, ro_t, rd_t, k_t)
         return render_rays(
             models, ro_t, rd_t, k_t, render_cfg, model_cfg,
             is_train=is_train, compute_dtype=compute_dtype, apply_fn=apply_fn,
