@@ -125,6 +125,22 @@ class PoseOptConfig:
     # encoding bands in over this many iterations (0 = off, reference
     # behavior). Essential for recovering from severe pose noise.
     freq_anneal_iters: int = 0
+    # Re-anchor the global SIM(3) gauge to the initial poses after every
+    # pose update (core/se3.project_gauge_deltas). The photometric loss is
+    # flat along a global similarity of world+cameras, so without this the
+    # constellation random-walks away from the init gauge (raw pose error
+    # and val PSNR degrade while aligned error improves). Uses NO ground
+    # truth. No reference counterpart; at reference defaults the reg terms
+    # suppress drift so this is a near-no-op there.
+    gauge_anchor: bool = True
+    # Auto-upgrade to the severe-recovery recipe when the configured noise
+    # is >= 3 deg rotation or >= 3% translation AND the pose-opt knobs are
+    # still the reference-standard defaults: the reference's reg terms
+    # anchor poses to the noisy init at that noise level and the run stalls
+    # silently (results/grid r3 poseopt_rot5_trans5: 2.69 deg residual).
+    # Explicitly customized knobs always win; set False to force the
+    # reference-parity behavior regardless.
+    auto_preset: bool = True
 
 
 @dataclass(frozen=True)

@@ -144,6 +144,114 @@ def apply_pose_deltas(
     return poses
 
 
+def fit_sim3_centers(
+    centers_a: jnp.ndarray,          # (N, 3)
+    centers_b: jnp.ndarray,          # (N, 3)
+    with_scale: bool = True,
+    fit_rotation: bool = True,
+):
+    """Closed-form similarity transform mapping centers_a -> centers_b.
+
+    jit-safe Umeyama (SVD of a 3x3 covariance): returns (s, R, t) with
+    b ~= s * R @ a + t. `fit_rotation=False` restricts to translation+scale
+    (R = I) — used when camera orientations are frozen, so a rotation gauge
+    cannot drift and must not be "corrected". Float32; the 3x3 SVD is
+    negligible next to rendering.
+    """
+    mu_a = jnp.mean(centers_a, axis=0)
+    mu_b = jnp.mean(centers_b, axis=0)
+    ac = centers_a - mu_a
+    bc = centers_b - mu_b
+    n = centers_a.shape[0]
+    var_a = jnp.sum(ac * ac) / n
+    var_a = jnp.maximum(var_a, 1e-12)
+    if fit_rotation:
+        cov = jnp.matmul(bc.T, ac, precision="highest") / n
+        U, D, Vt = jnp.linalg.svd(cov)
+        det_sign = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+        S = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * det_sign
+        R = jnp.matmul(U * S[None, :], Vt, precision="highest")
+        trace_DS = jnp.sum(D * S)
+    else:
+        R = jnp.eye(3, dtype=centers_a.dtype)
+        trace_DS = jnp.sum(bc * ac) / n
+    if with_scale:
+        s = trace_DS / var_a
+    else:
+        s = jnp.ones((), centers_a.dtype)
+    t = mu_b - s * jnp.matmul(R, mu_a, precision="highest")
+    return s, R, t
+
+
+def project_gauge_deltas(
+    initial_poses: jnp.ndarray,       # (N, 4, 4)
+    rotation_deltas: jnp.ndarray,     # (N, 3)
+    translation_deltas: jnp.ndarray,  # (N, 3)
+    fit_rotation: bool = True,
+    with_scale: bool = True,
+):
+    """Remove the global SIM(3) gauge component from accumulated pose deltas.
+
+    Joint pose+scene optimization is flat along a global similarity of
+    world+cameras, so SGD noise makes the whole constellation RANDOM-WALK
+    away from the initial gauge while per-camera (relative) errors improve
+    — the round-3 failure mode (VERDICT.md "What's weak" #1: raw pose error
+    and val PSNR degrade with iters while aligned error improves). This
+    projection re-anchors: fit the similarity A mapping current camera
+    centers onto the INITIAL centers (no ground truth involved) and fold A
+    into the deltas, so the constellation stays expressed in the init
+    gauge. Per-camera relative corrections are untouched (left-composing a
+    global transform preserves all relative poses; scale rescales pairwise
+    distances uniformly).
+
+    Applied after every pose-optimizer update (training/steps.py). The
+    remaining raw-vs-GT gauge offset is then the Karcher mean of the
+    injected noise, O(sigma/sqrt(N)) — the information-theoretic floor,
+    since the init poses are the only gauge observations.
+
+    Returns the projected {"rotation_deltas", "translation_deltas"}.
+    """
+    R_delta = exp_so3(rotation_deltas)
+    t_init = initial_poses[:, :3, 3]
+    t_cur = t_init + translation_deltas
+    s, R_A, t_A = fit_sim3_centers(
+        t_cur, t_init, with_scale=with_scale, fit_rotation=fit_rotation
+    )
+    t_new = s * jnp.einsum("ij,nj->ni", R_A, t_cur, precision="highest") + t_A
+    if fit_rotation:
+        R_new_delta = jnp.einsum("ij,njk->nik", R_A, R_delta,
+                                 precision="highest")
+        rot_new = log_so3(R_new_delta)
+    else:
+        rot_new = rotation_deltas
+    return {
+        "rotation_deltas": rot_new,
+        "translation_deltas": t_new - t_init,
+    }
+
+
+def apply_sim3_inverse_to_poses(poses: jnp.ndarray, xform: dict) -> jnp.ndarray:
+    """Map poses from the target gauge of `xform` back into its source gauge.
+
+    `xform` is the {"rotation", "translation", "scale"} dict returned by
+    align_poses_umeyama (maps estimated gauge -> GT gauge). Applying the
+    INVERSE to GT-gauge validation cameras expresses them in the scene's
+    (estimated) gauge, so validation renders view the reconstructed scene
+    from the geometrically-corresponding viewpoint. Experiment-mode only
+    (the fit uses GT train poses); reported alongside the raw protocol.
+    """
+    import numpy as np
+
+    R = np.asarray(xform["rotation"], np.float64)
+    t = np.asarray(xform["translation"], np.float64)
+    s = float(xform["scale"])
+    p = np.asarray(poses, np.float64)
+    out = np.array(p, copy=True)
+    out[:, :3, 3] = (R.T @ (p[:, :3, 3] - t).T).T / s
+    out[:, :3, :3] = np.einsum("ij,njk->nik", R.T, p[:, :3, :3])
+    return out.astype(np.float32)
+
+
 def align_poses_umeyama(poses_est, poses_gt, with_scale: bool = True):
     """Globally align estimated camera poses to GT (Umeyama/Procrustes).
 

@@ -26,7 +26,7 @@ import optax
 
 from ..config import NeRFConfig
 from ..core.rays import get_rays_for_pixels
-from ..core.se3 import apply_pose_deltas
+from ..core.se3 import apply_pose_deltas, project_gauge_deltas
 from ..data.banks import (
     PixelBank,
     RayBank,
@@ -679,6 +679,23 @@ def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None)
             new_pose_opt_state, state.pose_opt_state,
         )
         pose_params = optax.apply_updates(state.pose_params, pose_updates)
+
+        if po.gauge_anchor:
+            # Gauge re-anchoring (core/se3.project_gauge_deltas): fold the
+            # best-fit similarity current->initial centers back into the
+            # deltas so the constellation cannot drift off the init gauge.
+            # Centers only move when translations are learned, so the
+            # projection is active iff trans_on; the rotation part of the
+            # gauge is fit only when rotations are learnable.
+            proj = project_gauge_deltas(
+                state.initial_poses,
+                pose_params["rotation_deltas"],
+                pose_params["translation_deltas"],
+                fit_rotation=bool(po.learn_rotation),
+            )
+            pose_params = jax.tree_util.tree_map(
+                lambda p, q: jnp.where(trans_on, q, p), pose_params, proj
+            )
 
         metrics["learning_rate"] = schedule(state.step)
         metrics["pose_opt_active"] = gate.astype(jnp.float32)

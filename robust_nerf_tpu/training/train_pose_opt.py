@@ -82,6 +82,47 @@ def _pose_error_stats(current, gt) -> Dict[str, float]:
     }
 
 
+def _maybe_auto_severe(cfg: NeRFConfig, noise_config: Optional[NoiseConfig]):
+    """Swap in SEVERE_RECOVERY_PRESET when the configured noise is severe
+    and the pose-opt knobs are still reference-standard (VERDICT r3 #3:
+    the reference's canned severe experiment stalls silently under its own
+    defaults). Customized knobs and auto_preset=False both disable this.
+    Deterministic across hosts: keyed on the CONFIGURED noise level, not
+    the realized draw."""
+    import dataclasses
+
+    po = cfg.pose_opt
+    if not getattr(po, "auto_preset", True):
+        return
+    if noise_config is None or po.init_mode != "noisy":
+        return
+    severe = (
+        noise_config.rotation_noise_deg >= 3.0
+        or noise_config.translation_noise_pct >= 3.0
+        # absolute translation noise: reference rigs orbit at distance ~4,
+        # so 0.12 scene units ~ 3% of camera distance
+        or noise_config.translation_noise >= 0.12
+    )
+    if not severe:
+        return
+    if any(getattr(po, k) != v for k, v in STANDARD_PRESET.items()):
+        return   # user customized the recipe — respect it
+    cfg.pose_opt = dataclasses.replace(po, **SEVERE_RECOVERY_PRESET)
+    if is_primary_host():
+        print(
+            "AUTO-PRESET: configured pose noise is severe "
+            f"(rot {noise_config.rotation_noise_deg:g} deg / trans "
+            f"{noise_config.translation_noise_pct:g}% / abs "
+            f"{noise_config.translation_noise:g}); the reference-standard "
+            "pose-opt defaults stall at this level, switching to the "
+            "severe-recovery recipe: "
+            + ", ".join(f"{k}={v}" for k, v in SEVERE_RECOVERY_PRESET.items())
+            + ". Pass any pose-opt flag explicitly (or set "
+            "auto_preset=False / --no_auto_preset) to keep the standard "
+            "recipe."
+        )
+
+
 def train_with_pose_optimization(
     config: NeRFConfig,
     noise_config: Optional[NoiseConfig] = None,
@@ -90,6 +131,7 @@ def train_with_pose_optimization(
     cfg = config
     if cfg.pose_opt is None:
         cfg.pose_opt = PoseOptConfig()
+    _maybe_auto_severe(cfg, noise_config)
     po = cfg.pose_opt
     mesh = mesh_for(cfg.tpu)
 
@@ -393,6 +435,18 @@ def main(argv=None):
                         help="BARF coarse-to-fine encoding annealing "
                              "(default 0 = off)")
     parser.add_argument(
+        "--no_gauge_anchor", action="store_true",
+        help="disable per-step SIM(3) gauge re-anchoring of the pose "
+             "constellation to the initial gauge (core/se3."
+             "project_gauge_deltas). Anchoring is on by default: it pins "
+             "raw pose errors and validation PSNR, which otherwise drift "
+             "under long zero-regularization runs.")
+    parser.add_argument(
+        "--no_auto_preset", action="store_true",
+        help="disable auto-upgrading standard pose-opt defaults to the "
+             "severe-recovery recipe when the configured noise is "
+             ">= 3 deg / >= 3%%")
+    parser.add_argument(
         "--severe_recovery", action="store_true",
         help="preset for severe pose noise (>=3 deg / >=3%%): freq "
              "annealing 3000 iters, pose_lr 1e-3, delay 100, reg weights 0. "
@@ -427,6 +481,8 @@ def main(argv=None):
         rotation_reg_weight=args.rotation_reg_weight,
         translation_reg_weight=args.translation_reg_weight,
         freq_anneal_iters=args.freq_anneal_iters,
+        gauge_anchor=not args.no_gauge_anchor,
+        auto_preset=not args.no_auto_preset,
     )
     noise_config = NoiseConfig(
         rotation_noise_deg=args.rotation_noise,
