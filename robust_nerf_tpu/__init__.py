@@ -84,6 +84,7 @@ from .evalx.metrics import (
     LPIPSMetric,
     compute_all_metrics,
     compute_mse,
+    compute_ms_ssim,
     compute_psnr,
     compute_ssim,
 )

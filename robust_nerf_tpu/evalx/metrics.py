@@ -94,6 +94,88 @@ def compute_ssim(
     return jnp.mean(ssim_map)
 
 
+def _ssim_and_cs(pred, target, window_size=11, C1=0.01**2, C2=0.03**2):
+    """Mean SSIM and mean contrast-structure term for one scale.
+
+    Same conv machinery/precision as compute_ssim; used by MS-SSIM.
+    """
+    C = pred.shape[-1]
+    p = jnp.transpose(pred, (2, 0, 1))[None]
+    t = jnp.transpose(target, (2, 0, 1))[None]
+    win = _gaussian_window(window_size)
+    kernel = jnp.broadcast_to(win, (C, 1, window_size, window_size))
+    conv = lambda x: jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1),
+        padding=[(window_size // 2, window_size // 2)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mu_p, mu_t = conv(p), conv(t)
+    sigma_pp = conv(p * p) - mu_p * mu_p
+    sigma_tt = conv(t * t) - mu_t * mu_t
+    sigma_pt = conv(p * t) - mu_p * mu_t
+    cs_map = (2 * sigma_pt + C2) / (sigma_pp + sigma_tt + C2)
+    l_map = (2 * mu_p * mu_t + C1) / (mu_p * mu_p + mu_t * mu_t + C1)
+    return jnp.mean(l_map * cs_map), jnp.mean(cs_map)
+
+
+@partial(jax.jit, static_argnames=("window_size", "levels"))
+def compute_ms_ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window_size: int = 11,
+    levels: int = 5,
+) -> jnp.ndarray:
+    """Multi-scale SSIM (Wang et al. 2003) — the self-contained perceptual
+    metric reported wherever LPIPS is unavailable (no pretrained weights
+    exist in a zero-egress environment; VERDICT r3 "Next round" #6).
+
+    Standard 5-scale weights (0.0448, 0.2856, 0.3001, 0.2363, 0.1333);
+    contrast-structure terms at every scale, luminance only at the
+    coarsest; 2x average-pool between scales. The level count is capped so
+    the coarsest scale still fits the 11x11 window (min dim >= window *
+    2^(levels-1)) and the weights are renormalized — small validation
+    frames get a well-defined value instead of NaN. cs/ssim terms are
+    clamped at 0 before the weighted geometric mean (standard practice:
+    negative covariance at coarse scales would otherwise NaN the power).
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    if pred.ndim == 2:
+        pred = pred[..., None]
+        target = target[..., None]
+    H, W = pred.shape[0], pred.shape[1]
+    max_levels = 1
+    m = min(H, W)
+    while max_levels < levels and m // 2 >= window_size:
+        m //= 2
+        max_levels += 1
+    levels = max_levels
+    weights = jnp.asarray(
+        [0.0448, 0.2856, 0.3001, 0.2363, 0.1333][:levels], jnp.float32
+    )
+    weights = weights / jnp.sum(weights)
+
+    def pool2(x):
+        # 2x2 average pool (NHWC on the raw arrays), truncating odd tails
+        Hc, Wc = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+        x = x[:Hc, :Wc]
+        return 0.25 * (
+            x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2]
+        )
+
+    vals = []
+    p, t = pred, target
+    for lv in range(levels):
+        ssim_l, cs_l = _ssim_and_cs(p, t, window_size)
+        vals.append(ssim_l if lv == levels - 1 else cs_l)
+        if lv < levels - 1:
+            p, t = pool2(p), pool2(t)
+    vals = jnp.stack([jnp.maximum(v, 0.0) for v in vals])
+    return jnp.prod(vals ** weights)
+
+
 class LPIPSMetric:
     """Optional LPIPS, reference availability-guard pattern
     (noisy_src/metrics.py:119-168), with two backends:
@@ -158,6 +240,7 @@ def compute_all_metrics(
         "mse": float(compute_mse(pred, target)),
         "psnr": float(compute_psnr(pred, target)),
         "ssim": float(compute_ssim(pred, target)),
+        "ms_ssim": float(compute_ms_ssim(pred, target)),
     }
     if lpips_metric is not None and lpips_metric.available:
         val = lpips_metric(pred, target)

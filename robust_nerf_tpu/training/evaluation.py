@@ -11,7 +11,13 @@ from typing import Optional
 import numpy as np
 
 from ..config import NeRFConfig
-from ..evalx.metrics import LPIPSMetric, compute_mse, compute_psnr, compute_ssim
+from ..evalx.metrics import (
+    LPIPSMetric,
+    compute_mse,
+    compute_ms_ssim,
+    compute_psnr,
+    compute_ssim,
+)
 from ..ops.rendering import render_image
 from ..utils.logger import ExperimentLogger, ValidationMetrics
 from ..utils.pipeline import pipeline_frames
@@ -57,13 +63,14 @@ def evaluate(
 
     pipeline_frames(n, dispatch, consume)
 
-    all_psnr, all_ssim, all_mse, all_lpips = [], [], [], []
+    all_psnr, all_ssim, all_mse, all_lpips, all_msssim = [], [], [], [], []
     for i in range(n):
         pred = preds[i]
         target = np.asarray(val_scene.images[i])
         all_mse.append(float(compute_mse(pred, target)))
         all_psnr.append(float(compute_psnr(pred, target)))
         all_ssim.append(float(compute_ssim(pred, target)))
+        all_msssim.append(float(compute_ms_ssim(pred, target)))
         if lpips_metric is not None and lpips_metric.available:
             v = lpips_metric(pred, target)
             if v is not None:
@@ -80,6 +87,7 @@ def evaluate(
         ssim=float(np.mean(all_ssim)),
         mse=float(np.mean(all_mse)),
         lpips=float(np.mean(all_lpips)) if all_lpips else None,
+        ms_ssim=float(np.mean(all_msssim)),
         per_image_psnr=all_psnr,
         per_image_ssim=all_ssim,
     )

@@ -56,6 +56,10 @@ class ValidationMetrics:
     psnr: float
     ssim: float = 0.0
     lpips: Optional[float] = None
+    # self-contained perceptual metric (evalx/metrics.compute_ms_ssim) —
+    # reported wherever LPIPS is unavailable; extra column appended after
+    # the reference schema
+    ms_ssim: Optional[float] = None
     mse: float = 0.0
     per_image_psnr: List[float] = field(default_factory=list)
     per_image_ssim: List[float] = field(default_factory=list)
@@ -257,6 +261,8 @@ class ExperimentLogger:
             self.tb.log_scalar("val/mse", m.mse, m.iteration)
             if m.lpips is not None:
                 self.tb.log_scalar("val/lpips", m.lpips, m.iteration)
+            if m.ms_ssim is not None:
+                self.tb.log_scalar("val/ms_ssim", m.ms_ssim, m.iteration)
 
     def log_images(self, tag: str, pred, gt, iteration: int, depth=None):
         """PNG naming parity: {tag}_{pred,gt,comparison,depth}_{iter:07d}.png

@@ -109,6 +109,7 @@ def main(argv=None):
                 "test_psnr": agg["psnr_mean"],
                 "test_ssim": agg["ssim_mean"],
                 "test_lpips": agg.get("lpips_mean"),
+                "test_ms_ssim": agg.get("ms_ssim_mean"),
                 "val_psnr": summary.get("final_val_psnr"),
                 "wall_time_s": round(time.time() - t0, 1),
             }

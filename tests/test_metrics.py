@@ -7,6 +7,7 @@ from robust_nerf_tpu.evalx.metrics import (
     LPIPSMetric,
     compute_all_metrics,
     compute_mse,
+    compute_ms_ssim,
     compute_psnr,
     compute_ssim,
     psnr_from_mse,
@@ -122,3 +123,62 @@ class TestAllMetrics:
         out = compute_all_metrics(a, a)
         assert set(out.keys()) >= {"mse", "psnr", "ssim"}
         assert out["psnr"] > 60
+
+
+class TestMSSSIM:
+    """compute_ms_ssim — the self-contained perceptual metric shipped where
+    LPIPS has no weights (VERDICT r3 #6). Wang et al. 2003 semantics."""
+
+    def test_identical_is_one(self):
+        rng = np.random.default_rng(2)
+        a = rng.uniform(size=(192, 192, 3)).astype(np.float32)
+        v = float(compute_ms_ssim(jnp.asarray(a), jnp.asarray(a)))
+        np.testing.assert_allclose(v, 1.0, atol=1e-5)
+
+    def test_monotone_in_noise(self):
+        rng = np.random.default_rng(3)
+        a = rng.uniform(size=(192, 192, 3)).astype(np.float32)
+        vals = []
+        for sigma in (0.02, 0.08, 0.2):
+            b = np.clip(a + sigma * rng.standard_normal(a.shape), 0, 1)
+            vals.append(float(compute_ms_ssim(jnp.asarray(a),
+                                              jnp.asarray(b.astype(np.float32)))))
+        assert vals[0] > vals[1] > vals[2]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_small_image_caps_levels(self):
+        """A 32x32 frame supports only 2 scales; value must be finite and
+        sane, not NaN from pooling below the window size."""
+        rng = np.random.default_rng(4)
+        a = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+        b = np.clip(a + 0.05 * rng.standard_normal(a.shape), 0, 1).astype(np.float32)
+        v = float(compute_ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert np.isfinite(v) and 0.0 < v <= 1.0
+
+    def test_grayscale_and_odd_sizes(self):
+        rng = np.random.default_rng(5)
+        a = rng.uniform(size=(101, 147)).astype(np.float32)
+        v = float(compute_ms_ssim(jnp.asarray(a), jnp.asarray(a)))
+        np.testing.assert_allclose(v, 1.0, atol=1e-5)
+
+    def test_blur_scores_above_heavy_noise(self):
+        """MS-SSIM's point over PSNR: mild blur (structure kept) should
+        outscore heavy per-pixel noise at comparable MSE."""
+        rng = np.random.default_rng(6)
+        # smooth structured image
+        x = np.linspace(0, 4 * np.pi, 192)
+        a = (0.5 + 0.5 * np.sin(x)[:, None] * np.cos(x)[None, :]).astype(np.float32)
+        a = np.repeat(a[..., None], 3, axis=-1)
+        blurred = a.copy()
+        for _ in range(2):
+            blurred = 0.25 * (
+                np.roll(blurred, 1, 0) + np.roll(blurred, -1, 0)
+                + np.roll(blurred, 1, 1) + np.roll(blurred, -1, 1)
+            )
+        mse_blur = float(np.mean((a - blurred) ** 2))
+        noise = np.clip(
+            a + np.sqrt(mse_blur) * 3 * rng.standard_normal(a.shape), 0, 1
+        ).astype(np.float32)
+        v_blur = float(compute_ms_ssim(jnp.asarray(a), jnp.asarray(blurred)))
+        v_noise = float(compute_ms_ssim(jnp.asarray(a), jnp.asarray(noise)))
+        assert v_blur > v_noise
