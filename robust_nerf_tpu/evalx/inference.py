@@ -28,7 +28,13 @@ import numpy as np
 from ..config import NeRFConfig, config_from_dict, config_to_dict
 from ..core.noise import NoiseConfig, add_noise_to_pose
 from ..data.synthetic import load_scene
-from ..evalx.metrics import LPIPSMetric, compute_mse, compute_psnr, compute_ssim
+from ..evalx.metrics import (
+    LPIPSMetric,
+    compute_mse,
+    compute_ms_ssim,
+    compute_psnr,
+    compute_ssim,
+)
 from ..ops.occupancy import OccConfig, build_density_grid, render_image_occ
 from ..ops.rendering import render_image
 from ..training.checkpoints import find_checkpoint, load_checkpoint_raw, restore_into
@@ -64,10 +70,13 @@ def evaluate_test_set(
     max_images: Optional[int] = None,
     save_images: bool = True,
     occ=None,
+    mesh=None,
 ) -> Dict:
     """Per-image render + metrics over a test split
     (reference: inference.py:144-318). `occ=(grid, OccConfig)` routes frames
-    through the density-grid accelerated renderer (ops/occupancy.py)."""
+    through the density-grid accelerated renderer (ops/occupancy.py).
+    With `mesh` (>1 device, models replicated on it) each frame's rays are
+    sharded over the mesh's data axis (ops/rendering.py:render_image)."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     img_dir = output_dir / "test_images"
@@ -106,7 +115,7 @@ def evaluate_test_set(
             )
         return render_image(
             models, pose, test_scene.H, test_scene.W, test_scene.focal,
-            cfg.render, cfg.model, cfg.tpu,
+            cfg.render, cfg.model, cfg.tpu, mesh=mesh,
         )
 
     def consume(i, out):
@@ -136,6 +145,7 @@ def evaluate_test_set(
             "image_idx": i,
             "psnr": float(compute_psnr(pred, target)),
             "ssim": float(compute_ssim(pred, target)),
+            "ms_ssim": float(compute_ms_ssim(pred, target)),
             "mse": float(compute_mse(pred, target)),
             # dispatch-to-fetched latency of this frame (frames overlap,
             # so the SUM can exceed the loop's wall-clock)
@@ -156,6 +166,7 @@ def evaluate_test_set(
         "psnr_mean": float(np.mean([m["psnr"] for m in per_image])),
         "psnr_std": float(np.std([m["psnr"] for m in per_image])),
         "ssim_mean": float(np.mean([m["ssim"] for m in per_image])),
+        "ms_ssim_mean": float(np.mean([m["ms_ssim"] for m in per_image])),
         "mse_mean": float(np.mean([m["mse"] for m in per_image])),
         "render_time_mean": float(np.mean([m["render_time"] for m in per_image])),
         "noise_config": config_to_dict(noise_config) if noise_config else None,
@@ -263,6 +274,7 @@ def render_video(
     noise_config: Optional[NoiseConfig] = None,
     fps: int = 30,
     occ=None,
+    mesh=None,
 ) -> Path:
     """Render frames (optional per-frame pose noise) and assemble an mp4
     via ffmpeg; keep PNG frames if ffmpeg is unavailable
@@ -296,7 +308,8 @@ def render_video(
                 models, occ[0], pose, H, W, focal,
                 cfg.render, cfg.model, cfg.tpu, occ[1],
             )
-        return render_image(models, pose, H, W, focal, cfg.render, cfg.model, cfg.tpu)
+        return render_image(models, pose, H, W, focal, cfg.render, cfg.model,
+                            cfg.tpu, mesh=mesh)
 
     def consume(i, out):
         save_png(np.asarray(out["rgb"]), frames_dir / f"frame_{i:04d}.png")
@@ -371,7 +384,13 @@ def main(argv=None):
     # counterpart — drops the coarse-MLP pass from every frame)
     parser.add_argument("--occ_grid", type=int, default=0,
                         help="bake a density grid at this resolution and "
-                             "render through it (0 = off; 128 is typical)")
+                             "render through it (0 = off; 128 is typical). "
+                             "Assumes trained density lives inside "
+                             "[-scene_bound, scene_bound]^3 (ModelConfig."
+                             "scene_bound): density outside the AABB gets "
+                             "zero probe weight, so checkpoints with mass "
+                             "beyond the bound render degraded here "
+                             "(covered only by the uniform_frac floor)")
     parser.add_argument("--occ_probes", type=int, default=64,
                         help="grid probes per ray (replaces coarse samples)")
     parser.add_argument("--occ_samples", type=int, default=0,
@@ -380,12 +399,32 @@ def main(argv=None):
     parser.add_argument("--compile_cache", type=str, default="auto",
                         help="persistent XLA compilation cache directory "
                              "('auto' = default location, 'off' = disable)")
+    # mesh-parallel frame rendering (VERDICT r3 #4: on a pod, test-set
+    # eval / video must not serialize on one chip)
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="shard each frame's rays over this many devices "
+                             "(0 = all visible; 1 = single-device). The "
+                             "--occ_grid path stays single-device.")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (one process per "
+                             "host); frames shard over the global mesh")
     args = parser.parse_args(argv)
 
     from ..utils.compile_cache import enable_compilation_cache
     enable_compilation_cache(args.compile_cache)
+    from ..training.train import maybe_init_multihost
+    maybe_init_multihost(args)
 
     models, cfg, meta, _ = load_checkpoint(args.checkpoint)
+    from ..parallel.mesh import create_mesh, replicate
+
+    mesh = create_mesh(args.num_devices)
+    if int(np.prod(mesh.devices.shape)) > 1:
+        models = replicate(models, mesh)
+        print(f"frame rendering sharded over {int(np.prod(mesh.devices.shape))}"
+              " devices")
+    else:
+        mesh = None
     if args.scene:
         cfg.data.scene_name = args.scene
     if args.data_root:
@@ -431,7 +470,7 @@ def main(argv=None):
         agg = evaluate_test_set(
             models, cfg, scene, output_dir, noise_config,
             max_images=args.max_images, save_images=not args.no_save_images,
-            occ=occ,
+            occ=occ, mesh=mesh,
         )
         print(
             f"Test metrics: PSNR {agg['psnr_mean']:.2f} +/- {agg['psnr_std']:.2f}, "
@@ -444,7 +483,7 @@ def main(argv=None):
         )
         render_video(
             models, cfg, poses, scene.H, scene.W, scene.focal,
-            output_dir, noise_config, fps=args.fps, occ=occ,
+            output_dir, noise_config, fps=args.fps, occ=occ, mesh=mesh,
         )
     elif args.mode == "single":
         scene = load_scene(cfg.data, args.split)
@@ -457,7 +496,7 @@ def main(argv=None):
         else:
             out = render_image(
                 models, scene.poses[idx], scene.H, scene.W, scene.focal,
-                cfg.render, cfg.model, cfg.tpu,
+                cfg.render, cfg.model, cfg.tpu, mesh=mesh,
             )
         output_dir.mkdir(parents=True, exist_ok=True)
         save_png(np.asarray(out["rgb"]), output_dir / f"single_{idx:03d}_pred.png")
