@@ -217,12 +217,15 @@ def render_rays_occgrid(
     bins = 0.5 * (z_probe[..., 1:] + z_probe[..., :-1])
     w_int = weights[..., 1:-1]
     if occ_cfg.uniform_frac > 0.0:
-        # respread a fraction of the ray's weight mass uniformly (see
-        # OccConfig.uniform_frac); rays that miss the AABB keep zero mass
-        # and fall through to sample_pdf's own 1e-5 floor
-        w_int = w_int + occ_cfg.uniform_frac * jnp.sum(
-            w_int, axis=-1, keepdims=True
-        ) / w_int.shape[-1]
+        # convex mix: exactly `uniform_frac` of the ray's weight mass is
+        # respread uniformly over the bins (ADVICE r3: the earlier additive
+        # boost gave an effective share of frac/(1+frac), off the
+        # documented 20%); rays that miss the AABB keep zero mass and fall
+        # through to sample_pdf's own 1e-5 floor
+        w_int = (1.0 - occ_cfg.uniform_frac) * w_int + (
+            occ_cfg.uniform_frac
+            * jnp.sum(w_int, axis=-1, keepdims=True) / w_int.shape[-1]
+        )
     z_samples = sample_pdf(k_pdf, bins, w_int, n_samples, det=not is_train)
     z_vals = jnp.sort(z_samples, axis=-1)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
@@ -255,10 +258,18 @@ def _render_image_occ_jit(
     directions = get_ray_directions(H, W, focal)
     rays_o, rays_d = get_rays(directions, pose)
 
+    # resolve the per-tile apply_fn the same way the standard eval path
+    # does (ADVICE r3: going through model_apply_fn alone bypassed the
+    # Pallas fused-MLP eval kernel when enabled)
+    from .rendering import _eval_apply_fn
+
+    apply_fn = _eval_apply_fn(model_cfg, tpu_cfg)
+
     def render_fn(m, ro_t, rd_t, k_t):
         return render_rays_occgrid(
             m, ro_t, rd_t, k_t, render_cfg, model_cfg, grid, occ_cfg,
             is_train=False, compute_dtype=jnp.dtype(tpu_cfg.compute_dtype),
+            apply_fn=apply_fn,
         )
 
     out = render_rays_chunked(
