@@ -176,7 +176,7 @@ class TPUConfig:
     # full-frame eval rendering (386.7k vs 228.8k at tile 256) — see
     # ops/pallas/__init__.py for the measurement history. "on"/"off"
     # or a bool force both contexts. Resolve via
-    # ops.pallas.pallas_enabled(cfg, context).
+    # experimental.pallas.pallas_enabled(cfg, context).
     use_pallas: object = "auto"
     # Pallas inverse-CDF resample kernel for hierarchical sampling
     # (ops/pallas/resample.py; exact-parity math). MEASURED A WASH inside

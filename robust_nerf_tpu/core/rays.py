@@ -196,7 +196,7 @@ def sample_hierarchical(
     z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     if use_fused:
         # lazy import: core must stay importable without the ops layer
-        from ..ops.pallas.resample import sample_pdf_fused
+        from ..experimental.pallas.resample import sample_pdf_fused
 
         z_samples = sample_pdf_fused(
             key, z_vals_mid, weights[..., 1:-1], num_samples_fine, det=det

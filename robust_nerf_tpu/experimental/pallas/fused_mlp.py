@@ -597,6 +597,25 @@ def _fused_fwd(params, pts, viewdirs, cfg, dtype_str):
     if _store_mode():
         batch_shape = pts.shape[:-1]
         n = int(np.prod(batch_shape)) if batch_shape else 1
+        # Hard gate (VERDICT r3 #5): the store-mode kernel pair
+        # deterministically exceeds this environment's remote compile
+        # helper capacity above ~32k points per call (ray batch >= 1024 at
+        # 32+32 samples) — the failure presents as tpu_compile_helper
+        # HTTP 500 / exit 1 after minutes, indistinguishable from a hang.
+        # Fail fast with the remedy instead.
+        max_pts = int(os.environ.get("ROBUST_NERF_PALLAS_STORE_MAX_PTS",
+                                     "32768"))
+        if n > max_pts:
+            raise RuntimeError(
+                f"ROBUST_NERF_PALLAS_STORE=1 with {n} points per call "
+                f"(> {max_pts}): the store-mode fused-kernel pair exceeds "
+                "the remote TPU compile helper's capacity at this size "
+                "(deterministic tpu_compile_helper failure, see CLAUDE.md)."
+                " Use a smaller ray batch / microbatch, unset "
+                "ROBUST_NERF_PALLAS_STORE (recompute backward), or raise "
+                "ROBUST_NERF_PALLAS_STORE_MAX_PTS if your toolchain "
+                "compiles larger programs."
+            )
         pad = (-n) % TILE
         # f32 tiles: bf16 pts/dirs (the train step samples in the compute
         # dtype) crash the Mosaic compile of the store-mode kernel pair

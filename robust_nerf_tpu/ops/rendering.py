@@ -208,14 +208,14 @@ def render_rays_chunked(
 
 
 def _eval_apply_fn(model_cfg, tpu_cfg):
-    from .pallas import pallas_enabled
+    from ..experimental.pallas import pallas_enabled
 
     if getattr(model_cfg, "architecture", "mlp") != "mlp":
         # Pallas fused kernels implement the frequency-MLP only; other
         # families resolve through the architecture dispatcher.
         return model_apply_fn(model_cfg)
     if pallas_enabled(tpu_cfg, context="eval"):
-        from .pallas.fused_mlp import nerf_apply_fused
+        from ..experimental.pallas.fused_mlp import nerf_apply_fused
 
         return nerf_apply_fused
     return nerf_apply

@@ -154,7 +154,7 @@ def _apply_fn_for(cfg: NeRFConfig):
     activations — XLA-style store-and-read), so wrapping it in
     jax.checkpoint would only add a redundant forward pass — remat
     applies to the XLA path alone."""
-    from ..ops.pallas import pallas_enabled
+    from ..experimental.pallas import pallas_enabled
 
     f8 = bool(getattr(cfg.tpu, "f8_residuals", False))
     if getattr(cfg.model, "architecture", "mlp") != "mlp":
@@ -180,7 +180,7 @@ def _apply_fn_for(cfg: NeRFConfig):
                 "path is active (the kernel manages its own residuals)",
                 stacklevel=2,
             )
-        from ..ops.pallas.fused_mlp import nerf_apply_fused
+        from ..experimental.pallas.fused_mlp import nerf_apply_fused
 
         return nerf_apply_fused
     fn = nerf_apply

@@ -14,7 +14,7 @@ import pytest
 
 from robust_nerf_tpu.config import ModelConfig
 from robust_nerf_tpu.models.nerf import init_nerf_params, nerf_apply
-from robust_nerf_tpu.ops.pallas.fused_mlp import nerf_apply_fused
+from robust_nerf_tpu.experimental.pallas.fused_mlp import nerf_apply_fused
 
 
 @pytest.fixture(scope="module")
@@ -70,7 +70,7 @@ class TestFusedResample:
 
     def test_det_matches_xla(self):
         from robust_nerf_tpu.core.rays import sample_pdf
-        from robust_nerf_tpu.ops.pallas.resample import sample_pdf_fused
+        from robust_nerf_tpu.experimental.pallas.resample import sample_pdf_fused
 
         bins, w = self._setup()
         ref = sample_pdf(None, bins, w, 128, det=True)
@@ -83,7 +83,7 @@ class TestFusedResample:
     def test_stochastic_matches_xla_same_key(self):
         """Both paths draw u = uniform(key, (B, S)) — identical streams."""
         from robust_nerf_tpu.core.rays import sample_pdf
-        from robust_nerf_tpu.ops.pallas.resample import sample_pdf_fused
+        from robust_nerf_tpu.experimental.pallas.resample import sample_pdf_fused
 
         bins, w = self._setup(key=7)
         k = jax.random.PRNGKey(3)
@@ -94,7 +94,7 @@ class TestFusedResample:
     def test_golden_vs_reference_torch(self):
         """Same recorded reference outputs as TestSamplePDF's golden
         (tests/test_rays.py) through the fused kernel."""
-        from robust_nerf_tpu.ops.pallas.resample import sample_pdf_fused
+        from robust_nerf_tpu.experimental.pallas.resample import sample_pdf_fused
 
         bins = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 9), (3, 9))
         weights = jnp.array([
@@ -280,7 +280,7 @@ class TestPolicyResolution:
 
     def test_known_values(self):
         from robust_nerf_tpu.config import TPUConfig
-        from robust_nerf_tpu.ops.pallas import pallas_enabled
+        from robust_nerf_tpu.experimental.pallas import pallas_enabled
 
         assert pallas_enabled(TPUConfig(use_pallas="on")) is True
         assert pallas_enabled(TPUConfig(use_pallas="off")) is False
@@ -290,7 +290,7 @@ class TestPolicyResolution:
 
     def test_unknown_string_raises(self):
         from robust_nerf_tpu.config import TPUConfig
-        from robust_nerf_tpu.ops.pallas import pallas_enabled
+        from robust_nerf_tpu.experimental.pallas import pallas_enabled
 
         with pytest.raises(ValueError, match="use_pallas"):
             pallas_enabled(TPUConfig(use_pallas="On"))
