@@ -129,6 +129,9 @@ def main(argv=None):
     p.add_argument("--pos_freqs", type=int, default=10)
     p.add_argument("--architecture", type=str, default="mlp",
                    choices=["mlp", "hashgrid"])
+    p.add_argument("--lr", type=float, default=None,
+                   help="model learning rate (default: 5e-4 for mlp, "
+                        "1e-2 for hashgrid — scripts/bench_hashgrid.py)")
     p.add_argument("--seed", type=int, default=0)
     # reference-default regularization (train_pose_opt.py:621); the reg is
     # a MEAN over deltas gated on the delay, so the defaults are mild
@@ -158,6 +161,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = rn.NeRFConfig()
+    cfg.train.lr = (args.lr if args.lr is not None
+                    else (1e-2 if args.architecture == "hashgrid" else 5e-4))
+    cfg.train.seed = args.seed
     cfg.data.batch_size = args.batch_size
     cfg.model = rn.ModelConfig(
         hidden_dim=args.hidden_dim,

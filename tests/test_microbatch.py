@@ -216,7 +216,11 @@ class TestPoseOptEquivalence:
         per-microbatch regen — identical up to float summation order, so
         the 5-step trajectories must agree far tighter than the fused-vs-
         microbatched comparison above. Reg weights nonzero so the
-        closed-form reg gradient is exercised."""
+        closed-form reg gradient is exercised. gauge_anchor off: the
+        SIM(3) projection's near-cancelling subtractions amplify the
+        paths' f32 summation-order difference ~20x (2.4e-6 abs on 1e-4
+        deltas), which is orthogonal to the hoist equivalence under test
+        (the anchored step is covered by tests/test_gauge.py)."""
         states, metrics = [], []
         for hoist in ("1", "0"):
             monkeypatch.setenv("ROBUST_NERF_HOIST_POSE_RAYS", hoist)
@@ -224,6 +228,7 @@ class TestPoseOptEquivalence:
             cfg.pose_opt = PoseOptConfig(
                 pose_opt_delay=0, pose_lr=1e-3,
                 rotation_reg_weight=0.01, translation_reg_weight=0.001,
+                gauge_anchor=False,
             )
             bank = build_pixel_bank(tiny_scene)
             noisy, _ = add_noise_to_poses(
