@@ -103,6 +103,10 @@ class TrainConfig:
     # "npz" (single-file, reference-style) or "orbax" (directory-based,
     # sharded-array aware, multi-host coordinated).
     ckpt_backend: str = "npz"
+    # Stop when val PSNR hasn't improved for this many validations
+    # (utils/train_utils.EarlyStopping; 0 = off). The reference defined
+    # the class but never wired it (noisy_src/utils.py:218-252).
+    early_stop_patience: int = 0
 
 
 @dataclass

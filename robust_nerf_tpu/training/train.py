@@ -39,6 +39,7 @@ from ..parallel.mesh import create_mesh, is_primary_host, replicate, sync_string
 from ..parallel.tp import maybe_shard_state, mesh_for
 from ..utils.compile_cache import enable_compilation_cache
 from ..utils.logger import ExperimentLogger, TrainingMetrics
+from ..utils.train_utils import EarlyStopping
 from .checkpoints import (
     ckpt_needs_all_processes,
     finalize_checkpoints,
@@ -160,6 +161,13 @@ def train(
     base_key = jax.random.PRNGKey(cfg.train.seed + 1)
     total = cfg.train.num_iterations
     best_psnr = float("-inf")
+    # opt-in early stop on val PSNR (the reference defined EarlyStopping
+    # but never used it, noisy_src/utils.py:218-252). Val metrics are
+    # computed identically on every process, so the stop decision is
+    # multihost-consistent.
+    stopper = (EarlyStopping(patience=cfg.train.early_stop_patience,
+                             mode="max")
+               if cfg.train.early_stop_patience > 0 else None)
     i = start_iter
     profile_dir = getattr(cfg.train, "profile_dir", None)
     profiling = False
@@ -239,6 +247,13 @@ def train(
                     metrics={"val_psnr": val.psnr, "val_ssim": val.ssim},
                     is_best=is_best,
                 )
+            if stopper is not None and stopper.step(val.psnr):
+                print(
+                    f"EARLY STOP @ iter {i}: val PSNR has not improved for "
+                    f"{stopper.patience} validations (best {stopper.best:.2f})"
+                )
+                total = i   # final eval/checkpoint labeled with the real iter
+                break
         elif (i % cfg.train.save_every == 0 and i < total
               and (logger is not None or save_on_all)):
             _save_ckpt(
@@ -315,6 +330,7 @@ def build_config_from_args(args) -> NeRFConfig:
             resume=args.resume,
             wedge_timeout_s=args.wedge_timeout,
             ckpt_backend=args.ckpt_backend,
+            early_stop_patience=getattr(args, "early_stop_patience", 0),
         ),
         tpu=TPUConfig(
             compute_dtype=args.compute_dtype,
@@ -421,6 +437,9 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="checkpoint format: single-file npz, orbax "
                              "directories (multi-host coordinated), or "
                              "orbax_async (disk write overlaps training)")
+    parser.add_argument("--early_stop_patience", type=int, default=0,
+                        help="stop when val PSNR hasn't improved for this "
+                             "many validations (0 = off)")
     parser.add_argument("--compile_cache", type=str, default="auto",
                         help="persistent XLA compilation cache directory "
                              "('auto' = $ROBUST_NERF_COMPILE_CACHE or "

@@ -1,8 +1,9 @@
 """Small training utilities — running averages and early stopping.
 
-Parity with the reference's utils (noisy_src/utils.py:195-252). Note the
-reference defines these but never wires them into its loops; they are
-provided (and tested) here for API completeness and are available to user
+Parity with the reference's utils (noisy_src/utils.py:195-252). The
+reference defines these but never wires them into its loops; here
+EarlyStopping backs the training loop's opt-in --early_stop_patience
+flag (training/train.py) and AverageMeter remains available to user
 training scripts.
 """
 

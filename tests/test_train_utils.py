@@ -53,3 +53,25 @@ class TestEarlyStopping:
         es = EarlyStopping(patience=1, mode="max", min_delta=0.5)
         es.step(1.0)
         assert es.step(1.2)       # +0.2 < min_delta -> no improvement
+
+
+class TestEarlyStopWired:
+    def test_training_stops_early(self, tmp_path):
+        """--early_stop_patience halts the loop once val PSNR plateaus
+        (lr 0 makes every validation identical, so patience 1 stops at
+        the second val instead of running all 200 iters)."""
+        from robust_nerf_tpu.training.train import main
+
+        main([
+            "--data_source", "synthetic", "--num_iters", "200",
+            "--val_every", "20", "--save_every", "200", "--log_every", "20",
+            "--batch_size", "64", "--num_samples", "8",
+            "--num_samples_fine", "8", "--steps_per_scan", "20",
+            "--lr", "0.0", "--early_stop_patience", "1",
+            "--output_dir", str(tmp_path), "--exp_name", "es",
+        ])
+        import json
+
+        with open(tmp_path / "es" / "summary.json") as f:
+            summary = json.load(f)
+        assert summary["total_iterations"] <= 60
