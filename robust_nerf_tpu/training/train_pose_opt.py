@@ -338,6 +338,16 @@ def train_with_pose_optimization(
     # all processes compute (multihost: the jits span the global mesh)
     cur = np.asarray(jax.device_get(current_poses(state)))
     errs = _pose_error_stats(cur, gt_poses_j)
+    # gauge-aligned errors alongside the raw reference-definition ones:
+    # the recoverable quantity is the relative configuration (BARF; see
+    # core/se3.align_poses_umeyama and docs/POSE_OPTIMIZATION.md)
+    from ..core.se3 import align_poses_umeyama
+
+    aligned_poses, _ = align_poses_umeyama(cur, gt_poses_j)
+    errs.update({
+        f"{k}_aligned": v
+        for k, v in _pose_error_stats(aligned_poses, gt_poses_j).items()
+    })
     val = evaluate(
         state.models, val_scene, logger, total, cfg,
         num_images=val_scene.images.shape[0], lpips_metric=lpips_metric,

@@ -245,6 +245,15 @@ def main(argv=None):
         control_rot_err = float(cerrs["mean_rotation_error_deg"])
         control_val_psnr = _val_psnr(cstate, val, cfg, val.poses)
 
+    # per-camera distribution of the aligned errors: a stuck tail (a few
+    # cameras in bad local minima) shows up as p90/max >> median
+    per_cam = np.asarray(errs_al["rotation_errors_deg"])
+    dist = {
+        "aligned_rot_median_deg": float(np.median(per_cam)),
+        "aligned_rot_p90_deg": float(np.percentile(per_cam, 90)),
+        "aligned_rot_max_deg": float(np.max(per_cam)),
+    }
+
     rot_final = float(errs_al["mean_rotation_error_deg"])
     trans_final = float(errs_al["mean_translation_error"])
     trans_pct = 100.0 * trans_final / mean_cam_dist
@@ -263,6 +272,7 @@ def main(argv=None):
         "final_rotation_error_deg_raw": rot_raw,
         "final_translation_error_raw": trans_raw,
         "final_translation_error_pct_of_distance_raw": trans_pct_raw,
+        **dist,
         "final_rotation_error_deg_aligned": rot_final,
         "final_translation_error_aligned": trans_final,
         "final_translation_error_pct_of_distance": trans_pct,

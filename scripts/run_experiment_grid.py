@@ -138,6 +138,13 @@ def run_one(args, name, kind, rot, trans, out_root: Path) -> dict:
             "mean_rotation_error_deg"]
         row["final_trans_err"] = summary["final_pose_errors"][
             "mean_translation_error"]
+        # gauge-aligned stats (round 4: train_pose_opt writes both)
+        fe = summary["final_pose_errors"]
+        if "mean_rotation_error_deg_aligned" in fe:
+            row["final_rot_err_deg_aligned"] = fe[
+                "mean_rotation_error_deg_aligned"]
+            row["final_trans_err_aligned"] = fe[
+                "mean_translation_error_aligned"]
     return row
 
 
@@ -158,17 +165,19 @@ def write_table(rows, out_root: Path):
         "~0.3 dB at the reference's 25 dB level costs >1 dB here. Judge "
         "no-harm by the pose error (<0.1 deg) and SSIM delta (<0.001).",
         "",
-        "| Experiment | PSNR (dB) | best | SSIM | rot err (deg) | trans err"
-        " | wall (s) | ref lego PSNR |",
-        "|---|---|---|---|---|---|---|---|",
+        "| Experiment | PSNR (dB) | best | SSIM | rot err (deg) | aligned"
+        " | trans err | wall (s) | ref lego PSNR |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         rot = f"{r['final_rot_err_deg']:.3f}" if "final_rot_err_deg" in r else ""
+        rota = (f"{r['final_rot_err_deg_aligned']:.3f}"
+                if "final_rot_err_deg_aligned" in r else "")
         te = f"{r['final_trans_err']:.4f}" if "final_trans_err" in r else ""
         lines.append(
             f"| {r['name']} | {r['final_psnr']:.2f} | {r['best_psnr']:.2f} "
-            f"| {r['final_ssim']:.4f} | {rot} | {te} | {r['wall_time_s']:.0f}"
-            f" | {r['reference_psnr']} |"
+            f"| {r['final_ssim']:.4f} | {rot} | {rota} | {te} "
+            f"| {r['wall_time_s']:.0f} | {r['reference_psnr']} |"
         )
     with open(out_root / "GRID.md", "w") as f:
         f.write("\n".join(lines) + "\n")
