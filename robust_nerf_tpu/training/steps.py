@@ -496,6 +496,34 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
     return total, metrics
 
 
+# Measured on v5e (round 4): the hashgrid pose-opt chunk crashes the TPU
+# worker process ("kernel fault") when a long lax.scan wraps the
+# gather/scatter-heavy step — deterministic at steps_per_scan=250 with
+# 64+64 samples, clean at <=50; the same program at steps<=50, the MLP
+# family at any length, and hashgrid WITHOUT pose-opt all run fine. Until
+# the runtime fault is root-caused, pose-opt scan length is capped for
+# hashgrid on TPU.
+HASHGRID_POSE_OPT_MAX_SCAN_TPU = 50
+
+
+def pose_opt_scan_cap(cfg: NeRFConfig) -> int:
+    """steps_per_scan that is safe for the pose-opt chunk on this backend."""
+    if (
+        getattr(cfg.model, "architecture", "mlp") == "hashgrid"
+        and jax.default_backend() == "tpu"
+        and cfg.tpu.steps_per_scan > HASHGRID_POSE_OPT_MAX_SCAN_TPU
+    ):
+        warnings.warn(
+            f"hashgrid pose-opt on TPU: capping steps_per_scan "
+            f"{cfg.tpu.steps_per_scan} -> {HASHGRID_POSE_OPT_MAX_SCAN_TPU} "
+            "(longer scans of the gather-heavy step crash the TPU worker; "
+            "see training/steps.py HASHGRID_POSE_OPT_MAX_SCAN_TPU)",
+            stacklevel=2,
+        )
+        return HASHGRID_POSE_OPT_MAX_SCAN_TPU
+    return cfg.tpu.steps_per_scan
+
+
 def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):
     """Jitted scanned-step function for joint NeRF + pose optimization.
 

@@ -51,7 +51,12 @@ from .checkpoints import (
     save_checkpoint,
 )
 from .evaluation import evaluate
-from .steps import create_pose_opt_state, current_poses, make_pose_opt_chunk
+from .steps import (
+    create_pose_opt_state,
+    current_poses,
+    make_pose_opt_chunk,
+    pose_opt_scan_cap,
+)
 from .train import _chunk_schedule
 from .watchdog import EX_TEMPFAIL, WedgeTimeout, run_with_watchdog
 
@@ -224,7 +229,7 @@ def train_with_pose_optimization(
             # capture one steady-state chunk (same contract as train.py)
             jax.profiler.start_trace(str(profile_dir))
             profiling = True
-        n = _chunk_schedule(i, total, cfg)
+        n = min(_chunk_schedule(i, total, cfg), pose_opt_scan_cap(cfg))
         if n not in chunk_fns:
             chunk_fns[n] = make_pose_opt_chunk(cfg, mesh, steps=n)
         t0 = time.time()

@@ -55,6 +55,7 @@ from robust_nerf_tpu.training.steps import (  # noqa: E402
     create_pose_opt_state,
     current_poses,
     make_pose_opt_chunk,
+    pose_opt_scan_cap,
 )
 
 
@@ -85,12 +86,13 @@ def _run_pose_opt(cfg, scene, init_poses, gt, seed, iters, tag=""):
         jax.random.PRNGKey(seed), cfg, jnp.asarray(init_poses)
     )
     state = replicate(state, mesh)
-    chunk = make_pose_opt_chunk(cfg, mesh=mesh, steps=cfg.tpu.steps_per_scan)
+    n_scan = pose_opt_scan_cap(cfg)
+    chunk = make_pose_opt_chunk(cfg, mesh=mesh, steps=n_scan)
     t0 = time.time()
     i = 0
     while i < iters:
         state, m = chunk(state, bank, jax.random.PRNGKey(seed + 1))
-        i += cfg.tpu.steps_per_scan
+        i += n_scan
         errs = jax.device_get(
             pose_errors(current_poses(state), jnp.asarray(gt))
         )
