@@ -272,3 +272,33 @@ class TestAutoPreset:
         cfg = self._cfg()
         _maybe_auto_severe(cfg, NoiseConfig(translation_noise=0.2))
         assert cfg.pose_opt.rotation_reg_weight == 0.0   # upgraded
+
+
+class TestScanCap:
+    def test_no_cap_on_cpu_or_mlp(self):
+        from robust_nerf_tpu.training.steps import pose_opt_scan_cap
+
+        cfg = rn.NeRFConfig()
+        cfg.tpu = rn.TPUConfig(steps_per_scan=250)
+        # tests force the CPU backend, so even hashgrid is uncapped here
+        cfg.model = rn.ModelConfig(architecture="hashgrid")
+        assert pose_opt_scan_cap(cfg) == 250
+        cfg.model = rn.ModelConfig()
+        assert pose_opt_scan_cap(cfg) == 250
+
+    def test_cap_on_tpu_hashgrid(self, monkeypatch):
+        import robust_nerf_tpu.training.steps as steps
+
+        monkeypatch.setattr(steps.jax, "default_backend", lambda: "tpu")
+        cfg = rn.NeRFConfig()
+        cfg.tpu = rn.TPUConfig(steps_per_scan=250)
+        cfg.model = rn.ModelConfig(architecture="hashgrid")
+        with pytest.warns(UserWarning, match="capping steps_per_scan"):
+            assert steps.pose_opt_scan_cap(cfg) == 50
+        # MLP stays uncapped even on TPU
+        cfg.model = rn.ModelConfig()
+        assert steps.pose_opt_scan_cap(cfg) == 250
+        # small scans pass through untouched
+        cfg.model = rn.ModelConfig(architecture="hashgrid")
+        cfg.tpu = rn.TPUConfig(steps_per_scan=25)
+        assert steps.pose_opt_scan_cap(cfg) == 25
