@@ -496,32 +496,37 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
     return total, metrics
 
 
-# Measured on v5e (round 4): the hashgrid pose-opt chunk crashes the TPU
+# Measured on v5e (round 4): hashgrid train/pose-opt chunks crash the TPU
 # worker process ("kernel fault") when a long lax.scan wraps the
 # gather/scatter-heavy step — deterministic at steps_per_scan=250 with
-# 64+64 samples, clean at <=50; the same program at steps<=50, the MLP
-# family at any length, and hashgrid WITHOUT pose-opt all run fine. Until
-# the runtime fault is root-caused, pose-opt scan length is capped for
-# hashgrid on TPU.
-HASHGRID_POSE_OPT_MAX_SCAN_TPU = 50
+# 64+64 samples on the pose-opt chunk and at ~100-200 steps with 64+128
+# on the STANDARD chunk (scripts/bench_hashgrid.py), clean at <=50 in
+# both; the MLP family is clean at any length. Until the runtime fault is
+# root-caused, scan length is capped for the hashgrid family on TPU.
+HASHGRID_MAX_SCAN_TPU = 50
 
 
-def pose_opt_scan_cap(cfg: NeRFConfig) -> int:
-    """steps_per_scan that is safe for the pose-opt chunk on this backend."""
+def hashgrid_scan_cap(cfg: NeRFConfig) -> int:
+    """steps_per_scan that is safe for this model family on this backend."""
     if (
         getattr(cfg.model, "architecture", "mlp") == "hashgrid"
         and jax.default_backend() == "tpu"
-        and cfg.tpu.steps_per_scan > HASHGRID_POSE_OPT_MAX_SCAN_TPU
+        and cfg.tpu.steps_per_scan > HASHGRID_MAX_SCAN_TPU
     ):
         warnings.warn(
-            f"hashgrid pose-opt on TPU: capping steps_per_scan "
-            f"{cfg.tpu.steps_per_scan} -> {HASHGRID_POSE_OPT_MAX_SCAN_TPU} "
+            f"hashgrid on TPU: capping steps_per_scan "
+            f"{cfg.tpu.steps_per_scan} -> {HASHGRID_MAX_SCAN_TPU} "
             "(longer scans of the gather-heavy step crash the TPU worker; "
-            "see training/steps.py HASHGRID_POSE_OPT_MAX_SCAN_TPU)",
+            "see training/steps.py HASHGRID_MAX_SCAN_TPU)",
             stacklevel=2,
         )
-        return HASHGRID_POSE_OPT_MAX_SCAN_TPU
+        return HASHGRID_MAX_SCAN_TPU
     return cfg.tpu.steps_per_scan
+
+
+# Backward-compat name used by round-4 call sites before the standard
+# train chunk was found to need the same cap.
+pose_opt_scan_cap = hashgrid_scan_cap
 
 
 def make_pose_opt_chunk(cfg: NeRFConfig, mesh=None, steps: Optional[int] = None):

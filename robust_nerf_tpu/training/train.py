@@ -49,7 +49,7 @@ from .checkpoints import (
     save_checkpoint,
 )
 from .evaluation import evaluate
-from .steps import create_train_state, make_train_chunk
+from .steps import create_train_state, hashgrid_scan_cap, make_train_chunk
 from .watchdog import EX_TEMPFAIL, WedgeTimeout, run_with_watchdog
 
 
@@ -78,7 +78,7 @@ def _chunk_schedule(i: int, total: int, cfg: NeRFConfig) -> int:
         t.save_every - i % t.save_every,
         total - i,
     )
-    return max(1, min(nxt, cfg.tpu.steps_per_scan))
+    return max(1, min(nxt, hashgrid_scan_cap(cfg)))
 
 
 def train(

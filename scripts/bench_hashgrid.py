@@ -40,6 +40,7 @@ from robust_nerf_tpu.evalx.metrics import compute_psnr  # noqa: E402
 from robust_nerf_tpu.ops.rendering import render_image  # noqa: E402
 from robust_nerf_tpu.training.steps import (  # noqa: E402
     create_train_state,
+    hashgrid_scan_cap,
     make_train_chunk,
 )
 from robust_nerf_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
@@ -61,7 +62,11 @@ def run_family(name, model_cfg, lr, scene, val_scene, iters, check_every,
     )
     bank, _, _ = build_ray_bank(scene)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
-    chunk = make_train_chunk(cfg, steps=check_every)
+    # scan cap: long scans of the gather-heavy hashgrid step crash the
+    # TPU worker (training/steps.py HASHGRID_MAX_SCAN_TPU); run
+    # ceil(check_every / n_scan) chunks per checkpoint instead.
+    n_scan = min(hashgrid_scan_cap(cfg), check_every)
+    chunk = make_train_chunk(cfg, steps=n_scan)
 
     def val_psnr(models):
         vals = []
@@ -85,8 +90,9 @@ def run_family(name, model_cfg, lr, scene, val_scene, iters, check_every,
     t0 = time.perf_counter()
     it = 0
     while it < iters:
-        key, k = jax.random.split(key)
-        state, m = chunk(state, bank, k)
+        for _ in range(max(1, check_every // n_scan)):
+            key, k = jax.random.split(key)
+            state, m = chunk(state, bank, k)
         float(np.asarray(m["loss"]).sum())   # host sync: honest step timing
         it += check_every
         t_train = time.perf_counter() - t0
