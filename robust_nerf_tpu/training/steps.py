@@ -496,13 +496,16 @@ def _pose_render_loss(models, pose_params, batch, initial_poses, key,
     return total, metrics
 
 
-# Measured on v5e (round 4): hashgrid train/pose-opt chunks crash the TPU
-# worker process ("kernel fault") when a long lax.scan wraps the
-# gather/scatter-heavy step — deterministic at steps_per_scan=250 with
-# 64+64 samples on the pose-opt chunk and at ~100-200 steps with 64+128
-# on the STANDARD chunk (scripts/bench_hashgrid.py), clean at <=50 in
-# both; the MLP family is clean at any length. Until the runtime fault is
-# root-caused, scan length is capped for the hashgrid family on TPU.
+# Measured on v5e (round 4): hashgrid train/pose-opt chunks under the XOR
+# hash crash the TPU worker process ("kernel fault") when a long lax.scan
+# wraps the gather/scatter-heavy step — deterministic at steps_per_scan=250
+# with 64+64 samples on the pose-opt chunk and at ~100-200 steps with
+# 64+128 on the STANDARD chunk (scripts/bench_hashgrid.py), clean at <=50
+# in both; the MLP family is clean at any length. Round 5: the fault is a
+# property of the XOR scheme's 8-narrow-gathers/8-narrow-scatters per
+# level — the "packed" scheme (one wide gather/scatter per level,
+# models/hashgrid.py) runs BOTH chunks clean at steps_per_scan=250 on the
+# same chip, so the cap now applies only to hash_impl="xor".
 HASHGRID_MAX_SCAN_TPU = 50
 
 
@@ -510,14 +513,16 @@ def hashgrid_scan_cap(cfg: NeRFConfig) -> int:
     """steps_per_scan that is safe for this model family on this backend."""
     if (
         getattr(cfg.model, "architecture", "mlp") == "hashgrid"
+        and getattr(cfg.model, "hash_impl", "packed") == "xor"
         and jax.default_backend() == "tpu"
         and cfg.tpu.steps_per_scan > HASHGRID_MAX_SCAN_TPU
     ):
         warnings.warn(
-            f"hashgrid on TPU: capping steps_per_scan "
+            f"hashgrid (hash_impl=xor) on TPU: capping steps_per_scan "
             f"{cfg.tpu.steps_per_scan} -> {HASHGRID_MAX_SCAN_TPU} "
-            "(longer scans of the gather-heavy step crash the TPU worker; "
-            "see training/steps.py HASHGRID_MAX_SCAN_TPU)",
+            "(longer scans of the 8-narrow-gather step crash the TPU "
+            "worker; hash_impl='packed' has no cap — see "
+            "training/steps.py HASHGRID_MAX_SCAN_TPU)",
             stacklevel=2,
         )
         return HASHGRID_MAX_SCAN_TPU

@@ -292,13 +292,17 @@ class TestScanCap:
         monkeypatch.setattr(steps.jax, "default_backend", lambda: "tpu")
         cfg = rn.NeRFConfig()
         cfg.tpu = rn.TPUConfig(steps_per_scan=250)
-        cfg.model = rn.ModelConfig(architecture="hashgrid")
+        # only the XOR scheme triggers the worker fault; "packed" (the
+        # default) runs 250-step scans clean on chip (round-5 probe)
+        cfg.model = rn.ModelConfig(architecture="hashgrid", hash_impl="xor")
         with pytest.warns(UserWarning, match="capping steps_per_scan"):
             assert steps.pose_opt_scan_cap(cfg) == 50
+        cfg.model = rn.ModelConfig(architecture="hashgrid")
+        assert steps.pose_opt_scan_cap(cfg) == 250
         # MLP stays uncapped even on TPU
         cfg.model = rn.ModelConfig()
         assert steps.pose_opt_scan_cap(cfg) == 250
         # small scans pass through untouched
-        cfg.model = rn.ModelConfig(architecture="hashgrid")
+        cfg.model = rn.ModelConfig(architecture="hashgrid", hash_impl="xor")
         cfg.tpu = rn.TPUConfig(steps_per_scan=25)
         assert steps.pose_opt_scan_cap(cfg) == 25

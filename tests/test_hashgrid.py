@@ -291,3 +291,130 @@ class TestCheckpoint:
         )
         # dict round-trip preserves every hash field
         assert config_to_dict(cfg2)["model"] == config_to_dict(cfg)["model"]
+
+
+class TestPackedImpl:
+    """The TPU-native "packed" lattice-hash scheme (round 5): linear hash,
+    corner-packed dup tables, custom-VJP backward. Contracts: exact parity
+    with a naive per-corner implementation, grads matching autodiff,
+    dense-level equality with the "xor" scheme, and checkpoint compat."""
+
+    PCFG = dataclasses.replace(HCFG, hash_impl="packed")
+
+    def _naive_encode(self, params, x01, cfg):
+        """Per-corner numpy reference of the packed lattice scheme."""
+        from robust_nerf_tpu.models.hashgrid import packed_level_specs
+
+        outs = []
+        x01 = np.asarray(x01)
+        for l, (res, T, ky, kz) in enumerate(packed_level_specs(cfg)):
+            t = np.asarray(params[f"table_{l}"])
+            xl = x01 * res
+            x0 = np.clip(np.floor(xl), 0, res - 1).astype(np.int64)
+            fr = xl - x0
+            acc = np.zeros((x01.shape[0], t.shape[-1]), np.float32)
+            for cz in (0, 1):
+                for cy in (0, 1):
+                    for cx in (0, 1):
+                        idx = ((x0[:, 0] + cx) + ky * (x0[:, 1] + cy)
+                               + kz * (x0[:, 2] + cz)) % T
+                        w = ((fr[:, 0] if cx else 1 - fr[:, 0])
+                             * (fr[:, 1] if cy else 1 - fr[:, 1])
+                             * (fr[:, 2] if cz else 1 - fr[:, 2]))
+                        acc += w[:, None] * t[idx]
+            outs.append(acc)
+        return np.concatenate(outs, -1)
+
+    def test_matches_naive_per_corner(self):
+        cfg = self.PCFG
+        params = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+        pts = jax.random.uniform(
+            jax.random.PRNGKey(1), (512, 3), minval=-cfg.scene_bound,
+            maxval=cfg.scene_bound,
+        )
+        out = hashgrid_encode(params, pts, cfg)
+        x01 = np.clip((np.asarray(pts) / cfg.scene_bound + 1) * 0.5, 0, 1)
+        ref = self._naive_encode(params, x01, cfg)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self):
+        """Backward of the packed path (wide scatter + roll-reduce) must
+        equal autodiff of an equivalent forward without the custom VJP."""
+        from robust_nerf_tpu.models.hashgrid import (
+            _packed_level_fwd,
+            packed_level_specs,
+        )
+
+        cfg = self.PCFG
+        params = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+        specs = packed_level_specs(cfg)
+        tables = tuple(params[f"table_{l}"] for l in range(cfg.hash_levels))
+        x01 = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+
+        def loss_custom(tabs, x):
+            from robust_nerf_tpu.models.hashgrid import _packed_encode
+            return jnp.sum(jnp.sin(_packed_encode(tabs, x, specs) * 30.0))
+
+        def loss_plain(tabs, x):
+            outs = [_packed_level_fwd(t, x, *s)[0] for t, s in zip(tabs, specs)]
+            return jnp.sum(jnp.sin(jnp.concatenate(outs, -1) * 30.0))
+
+        gc = jax.grad(loss_custom, argnums=(0, 1))(tables, x01)
+        gp = jax.grad(loss_plain, argnums=(0, 1))(tables, x01)
+        for a, b in zip(gc[0], gp[0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        scale = float(jnp.abs(gp[1]).max()) + 1e-9
+        assert float(jnp.abs(gc[1] - gp[1]).max()) / scale < 1e-5
+
+    def test_dense_levels_equal_xor_impl(self):
+        """With every level dense ((res+1)^3 <= 2^log2_size) the two schemes
+        index identically, so outputs must agree exactly."""
+        base = dataclasses.replace(
+            HCFG, hash_levels=4, hash_base_res=4, hash_max_res=14,
+            hash_log2_size=12,
+        )
+        params = init_hashgrid_params(
+            jax.random.PRNGKey(0), dataclasses.replace(base, hash_impl="packed")
+        )
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-1.0, maxval=1.0)
+        out_p = hashgrid_encode(params, pts, dataclasses.replace(base, hash_impl="packed"))
+        out_x = hashgrid_encode(params, pts, dataclasses.replace(base, hash_impl="xor"))
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-6)
+
+    def test_lattice_params_deterministic_and_separated(self):
+        from robust_nerf_tpu.models.hashgrid import lattice_params
+
+        ky1, kz1 = lattice_params(1 << 12, seed=1001)
+        ky2, kz2 = lattice_params(1 << 12, seed=1001)
+        assert (ky1, kz1) == (ky2, kz2)
+        assert ky1 % 2 == 1 and kz1 % 2 == 1
+
+    def test_config_compat_missing_hash_impl_maps_to_xor(self):
+        """Pre-round-5 hashgrid checkpoints (no hash_impl key) were trained
+        under the XOR hash; config_from_dict must not misread them."""
+        from robust_nerf_tpu.config import (
+            NeRFConfig,
+            config_from_dict,
+            config_to_dict,
+        )
+
+        d = config_to_dict(NeRFConfig(model=HCFG))
+        del d["model"]["hash_impl"]
+        assert config_from_dict(d).model.hash_impl == "xor"
+        # mlp configs keep the modern default
+        d2 = config_to_dict(NeRFConfig())
+        del d2["model"]["hash_impl"]
+        assert config_from_dict(d2).model.hash_impl == "packed"
+        # explicit value wins
+        d3 = config_to_dict(NeRFConfig(model=HCFG))
+        assert config_from_dict(d3).model.hash_impl == "packed"
+
+    def test_anneal_gates_levels_under_packed(self):
+        cfg = self.PCFG
+        params = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        out = hashgrid_encode(params, pts, cfg, anneal_alpha=0.0)
+        F = cfg.hash_features
+        # alpha=0 keeps level 0 (weight on level 0 is cos-gated but nonzero
+        # only for level 0 per freq_anneal_weights contract)
+        assert float(jnp.abs(out[:, F:]).max()) == 0.0
