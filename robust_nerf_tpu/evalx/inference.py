@@ -71,14 +71,20 @@ def evaluate_test_set(
     save_images: bool = True,
     occ=None,
     mesh=None,
+    write_outputs: bool = True,
 ) -> Dict:
     """Per-image render + metrics over a test split
     (reference: inference.py:144-318). `occ=(grid, OccConfig)` routes frames
     through the density-grid accelerated renderer (ops/occupancy.py).
     With `mesh` (>1 device, models replicated on it) each frame's rays are
-    sharded over the mesh's data axis (ops/rendering.py:render_image)."""
+    sharded over the mesh's data axis (ops/rendering.py:render_image).
+    `write_outputs=False` (non-primary multihost processes) skips every
+    file write and print while still participating in the sharded renders
+    — concurrent writers to shared storage would race (ADVICE r4)."""
     output_dir = Path(output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
+    save_images = save_images and write_outputs
+    if write_outputs:
+        output_dir.mkdir(parents=True, exist_ok=True)
     img_dir = output_dir / "test_images"
     if save_images:
         img_dir.mkdir(exist_ok=True)
@@ -112,6 +118,7 @@ def evaluate_test_set(
             return render_image_occ(
                 models, occ[0], pose, test_scene.H, test_scene.W,
                 test_scene.focal, cfg.render, cfg.model, cfg.tpu, occ[1],
+                mesh=mesh,
             )
         return render_image(
             models, pose, test_scene.H, test_scene.W, test_scene.focal,
@@ -156,10 +163,11 @@ def evaluate_test_set(
             if v is not None:
                 m["lpips"] = v
         per_image.append(m)
-        print(
-            f"  test {i + 1}/{n}: PSNR {m['psnr']:.2f} SSIM {m['ssim']:.4f} "
-            f"({m['render_time']:.2f}s)"
-        )
+        if write_outputs:
+            print(
+                f"  test {i + 1}/{n}: PSNR {m['psnr']:.2f} SSIM {m['ssim']:.4f} "
+                f"({m['render_time']:.2f}s)"
+            )
 
     agg = {
         "num_images": n,
@@ -176,12 +184,13 @@ def evaluate_test_set(
     if lp:
         agg["lpips_mean"] = float(np.mean(lp))
 
-    with open(output_dir / "per_image_metrics.json", "w") as f:
-        json.dump(per_image, f, indent=2)
-    with open(output_dir / "test_metrics.json", "w") as f:
-        json.dump(agg, f, indent=2)
-    with open(output_dir / "experiment_config.json", "w") as f:
-        json.dump(config_to_dict(cfg), f, indent=2)
+    if write_outputs:
+        with open(output_dir / "per_image_metrics.json", "w") as f:
+            json.dump(per_image, f, indent=2)
+        with open(output_dir / "test_metrics.json", "w") as f:
+            json.dump(agg, f, indent=2)
+        with open(output_dir / "experiment_config.json", "w") as f:
+            json.dump(config_to_dict(cfg), f, indent=2)
     return agg
 
 
@@ -275,14 +284,19 @@ def render_video(
     fps: int = 30,
     occ=None,
     mesh=None,
+    write_outputs: bool = True,
 ) -> Path:
     """Render frames (optional per-frame pose noise) and assemble an mp4
     via ffmpeg; keep PNG frames if ffmpeg is unavailable
     (reference: inference.py:364-443). `occ=(grid, OccConfig)` routes frames
-    through the density-grid accelerated renderer."""
+    through the density-grid accelerated renderer. `write_outputs=False`
+    (non-primary multihost processes) renders every frame — all processes
+    must participate in the sharded render — but skips PNG/mp4/json writes
+    and prints (ADVICE r4)."""
     output_dir = Path(output_dir)
     frames_dir = output_dir / "frames"
-    frames_dir.mkdir(parents=True, exist_ok=True)
+    if write_outputs:
+        frames_dir.mkdir(parents=True, exist_ok=True)
     rng = (
         np.random.default_rng(noise_config.seed)
         if noise_config is not None
@@ -290,7 +304,8 @@ def render_video(
     )
 
     n_frames = poses.shape[0]
-    print(f"Rendering {n_frames} frames...")
+    if write_outputs:
+        print(f"Rendering {n_frames} frames...")
 
     # Dispatch-ahead pipeline: frame i+1 renders on-device while frame i's
     # fetch + PNG encode run on the host (utils/pipeline.py — measured
@@ -306,17 +321,23 @@ def render_video(
         if occ is not None:
             return render_image_occ(
                 models, occ[0], pose, H, W, focal,
-                cfg.render, cfg.model, cfg.tpu, occ[1],
+                cfg.render, cfg.model, cfg.tpu, occ[1], mesh=mesh,
             )
         return render_image(models, pose, H, W, focal, cfg.render, cfg.model,
                             cfg.tpu, mesh=mesh)
 
     def consume(i, out):
+        if not write_outputs:
+            np.asarray(out["rgb"])   # still drain the device fetch
+            return
         save_png(np.asarray(out["rgb"]), frames_dir / f"frame_{i:04d}.png")
         if (i + 1) % 10 == 0:
             print(f"  rendered {i + 1}/{n_frames}")
 
     pipeline_frames(n_frames, dispatch, consume)
+
+    if not write_outputs:
+        return frames_dir
 
     with open(output_dir / "video_config.json", "w") as f:
         json.dump(
@@ -403,8 +424,9 @@ def main(argv=None):
     # eval / video must not serialize on one chip)
     parser.add_argument("--num_devices", type=int, default=0,
                         help="shard each frame's rays over this many devices "
-                             "(0 = all visible; 1 = single-device). The "
-                             "--occ_grid path stays single-device.")
+                             "(0 = all visible; 1 = single-device). Composes "
+                             "with --occ_grid (grid replicated, rays "
+                             "sharded).")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (one process per "
                              "host); frames shard over the global mesh")
@@ -416,13 +438,17 @@ def main(argv=None):
     maybe_init_multihost(args)
 
     models, cfg, meta, _ = load_checkpoint(args.checkpoint)
-    from ..parallel.mesh import create_mesh, replicate
+    from ..parallel.mesh import create_mesh, is_primary_host, replicate
 
+    primary = is_primary_host()
     mesh = create_mesh(args.num_devices)
     if int(np.prod(mesh.devices.shape)) > 1:
         models = replicate(models, mesh)
-        print(f"frame rendering sharded over {int(np.prod(mesh.devices.shape))}"
-              " devices")
+        if primary:
+            print(
+                f"frame rendering sharded over "
+                f"{int(np.prod(mesh.devices.shape))} devices"
+            )
     else:
         mesh = None
     if args.scene:
@@ -459,23 +485,27 @@ def main(argv=None):
         # host-value fetch, not block_until_ready: honest timing over the
         # tunnel (CLAUDE.md) AND a useful diagnostic
         occupied = float((grid > 0.01).mean())
+        if mesh is not None:
+            grid = replicate(grid, mesh)   # shards probe it read-only
         occ = (grid, occ_cfg)
-        print(
-            f"Baked {args.occ_grid}^3 density grid in {time.time() - t0:.2f}s "
-            f"(occupied fraction {occupied:.3f})"
-        )
+        if primary:
+            print(
+                f"Baked {args.occ_grid}^3 density grid in "
+                f"{time.time() - t0:.2f}s (occupied fraction {occupied:.3f})"
+            )
 
     if args.mode == "test":
         scene = load_scene(cfg.data, args.split)
         agg = evaluate_test_set(
             models, cfg, scene, output_dir, noise_config,
             max_images=args.max_images, save_images=not args.no_save_images,
-            occ=occ, mesh=mesh,
+            occ=occ, mesh=mesh, write_outputs=primary,
         )
-        print(
-            f"Test metrics: PSNR {agg['psnr_mean']:.2f} +/- {agg['psnr_std']:.2f}, "
-            f"SSIM {agg['ssim_mean']:.4f}"
-        )
+        if primary:
+            print(
+                f"Test metrics: PSNR {agg['psnr_mean']:.2f} +/- "
+                f"{agg['psnr_std']:.2f}, SSIM {agg['ssim_mean']:.4f}"
+            )
     elif args.mode == "video":
         scene = load_scene(cfg.data, "train")
         poses = create_spiral_poses(
@@ -484,6 +514,7 @@ def main(argv=None):
         render_video(
             models, cfg, poses, scene.H, scene.W, scene.focal,
             output_dir, noise_config, fps=args.fps, occ=occ, mesh=mesh,
+            write_outputs=primary,
         )
     elif args.mode == "single":
         scene = load_scene(cfg.data, args.split)
@@ -492,20 +523,24 @@ def main(argv=None):
             out = render_image_occ(
                 models, occ[0], scene.poses[idx], scene.H, scene.W,
                 scene.focal, cfg.render, cfg.model, cfg.tpu, occ[1],
+                mesh=mesh,
             )
         else:
             out = render_image(
                 models, scene.poses[idx], scene.H, scene.W, scene.focal,
                 cfg.render, cfg.model, cfg.tpu, mesh=mesh,
             )
-        output_dir.mkdir(parents=True, exist_ok=True)
-        save_png(np.asarray(out["rgb"]), output_dir / f"single_{idx:03d}_pred.png")
-        save_png(
-            depth_to_colormap(np.asarray(out["depth"])),
-            output_dir / f"single_{idx:03d}_depth.png",
-        )
-        psnr = float(compute_psnr(np.asarray(out["rgb"]), scene.images[idx]))
-        print(f"Rendered image {idx}: PSNR {psnr:.2f} -> {output_dir}")
+        if primary:
+            output_dir.mkdir(parents=True, exist_ok=True)
+            save_png(
+                np.asarray(out["rgb"]), output_dir / f"single_{idx:03d}_pred.png"
+            )
+            save_png(
+                depth_to_colormap(np.asarray(out["depth"])),
+                output_dir / f"single_{idx:03d}_depth.png",
+            )
+            psnr = float(compute_psnr(np.asarray(out["rgb"]), scene.images[idx]))
+            print(f"Rendered image {idx}: PSNR {psnr:.2f} -> {output_dir}")
 
 
 if __name__ == "__main__":

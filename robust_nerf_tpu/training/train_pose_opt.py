@@ -87,13 +87,25 @@ def _pose_error_stats(current, gt) -> Dict[str, float]:
     }
 
 
-def _maybe_auto_severe(cfg: NeRFConfig, noise_config: Optional[NoiseConfig]):
+def _maybe_auto_severe(
+    cfg: NeRFConfig,
+    noise_config: Optional[NoiseConfig],
+    explicit_flags=None,
+):
     """Swap in SEVERE_RECOVERY_PRESET when the configured noise is severe
     and the pose-opt knobs are still reference-standard (VERDICT r3 #3:
     the reference's canned severe experiment stalls silently under its own
     defaults). Customized knobs and auto_preset=False both disable this.
     Deterministic across hosts: keyed on the CONFIGURED noise level, not
-    the realized draw."""
+    the realized draw.
+
+    `explicit_flags`: the set of pose-opt flag names the user passed
+    explicitly (args.pose_opt_explicit from the CLI). When provided, ANY
+    explicitly-passed recipe flag keeps the standard recipe — even one
+    passed at its standard value, which pure value comparison cannot
+    detect (ADVICE r4). When None (programmatic callers constructing
+    PoseOptConfig directly), falls back to value comparison against
+    STANDARD_PRESET."""
     import dataclasses
 
     po = cfg.pose_opt
@@ -110,7 +122,10 @@ def _maybe_auto_severe(cfg: NeRFConfig, noise_config: Optional[NoiseConfig]):
     )
     if not severe:
         return
-    if any(getattr(po, k) != v for k, v in STANDARD_PRESET.items()):
+    if explicit_flags is not None:
+        if explicit_flags:
+            return   # user passed a recipe flag explicitly — respect it
+    elif any(getattr(po, k) != v for k, v in STANDARD_PRESET.items()):
         return   # user customized the recipe — respect it
     cfg.pose_opt = dataclasses.replace(po, **SEVERE_RECOVERY_PRESET)
     if is_primary_host():
@@ -131,12 +146,17 @@ def _maybe_auto_severe(cfg: NeRFConfig, noise_config: Optional[NoiseConfig]):
 def train_with_pose_optimization(
     config: NeRFConfig,
     noise_config: Optional[NoiseConfig] = None,
+    pose_opt_explicit=None,
 ) -> Dict:
-    """Run joint NeRF + pose training. Returns the run summary dict."""
+    """Run joint NeRF + pose training. Returns the run summary dict.
+
+    `pose_opt_explicit`: set of pose-opt flag names the caller passed
+    explicitly (see _maybe_auto_severe); the CLI supplies it, programmatic
+    callers may omit it."""
     cfg = config
     if cfg.pose_opt is None:
         cfg.pose_opt = PoseOptConfig()
-    _maybe_auto_severe(cfg, noise_config)
+    _maybe_auto_severe(cfg, noise_config, explicit_flags=pose_opt_explicit)
     po = cfg.pose_opt
     mesh = mesh_for(cfg.tpu)
 
@@ -411,9 +431,18 @@ STANDARD_PRESET = dict(
 
 def resolve_pose_opt_defaults(args):
     """Fill None-valued pose-opt flags from the active preset
-    (--severe_recovery or reference-parity standard); explicit flags win."""
+    (--severe_recovery or reference-parity standard); explicit flags win.
+
+    Records which flags the user actually passed (non-None BEFORE filling)
+    in args.pose_opt_explicit — value comparison against the preset can't
+    tell `--pose_lr 1e-4` apart from an untouched default, and the
+    auto-preset promise ("pass any pose-opt flag explicitly to keep the
+    standard recipe") needs the distinction (ADVICE r4)."""
     preset = (SEVERE_RECOVERY_PRESET if getattr(args, "severe_recovery", False)
               else STANDARD_PRESET)
+    args.pose_opt_explicit = frozenset(
+        name for name in preset if getattr(args, name) is not None
+    )
     for name, value in preset.items():
         if getattr(args, name) is None:
             setattr(args, name, value)
@@ -507,7 +536,10 @@ def main(argv=None):
     )
     if not noise_config.has_noise:
         noise_config = None
-    train_with_pose_optimization(config, noise_config)
+    train_with_pose_optimization(
+        config, noise_config,
+        pose_opt_explicit=getattr(args, "pose_opt_explicit", None),
+    )
 
 
 if __name__ == "__main__":

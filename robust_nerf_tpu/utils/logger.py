@@ -56,11 +56,13 @@ class ValidationMetrics:
     psnr: float
     ssim: float = 0.0
     lpips: Optional[float] = None
-    # self-contained perceptual metric (evalx/metrics.compute_ms_ssim) —
-    # reported wherever LPIPS is unavailable; extra column appended after
-    # the reference schema
-    ms_ssim: Optional[float] = None
     mse: float = 0.0
+    # self-contained perceptual metric (evalx/metrics.compute_ms_ssim) —
+    # reported wherever LPIPS is unavailable. Declared AFTER mse so the
+    # CSV header (taken from field order) keeps the reference's
+    # iteration,psnr,ssim,lpips,mse prefix byte-identical
+    # (noisy_src/logger.py:41-57) and ms_ssim is a truly appended column.
+    ms_ssim: Optional[float] = None
     per_image_psnr: List[float] = field(default_factory=list)
     per_image_ssim: List[float] = field(default_factory=list)
 

@@ -273,6 +273,48 @@ class TestAutoPreset:
         _maybe_auto_severe(cfg, NoiseConfig(translation_noise=0.2))
         assert cfg.pose_opt.rotation_reg_weight == 0.0   # upgraded
 
+    def test_explicit_flag_at_standard_value_keeps_standard(self):
+        """--pose_lr 1e-4 (the standard value, passed explicitly) must keep
+        the standard recipe — value comparison can't see this, the
+        explicitness set can (ADVICE r4)."""
+        from robust_nerf_tpu.core.noise import NoiseConfig
+        from robust_nerf_tpu.training.train_pose_opt import _maybe_auto_severe
+
+        cfg = self._cfg()   # values identical to STANDARD_PRESET
+        _maybe_auto_severe(
+            cfg, NoiseConfig(rotation_noise_deg=5.0),
+            explicit_flags=frozenset({"pose_lr"}),
+        )
+        assert cfg.pose_opt.pose_lr == 1e-4          # NOT upgraded
+        assert cfg.pose_opt.rotation_reg_weight == 0.01
+
+    def test_empty_explicit_set_still_upgrades(self):
+        from robust_nerf_tpu.core.noise import NoiseConfig
+        from robust_nerf_tpu.training.train_pose_opt import _maybe_auto_severe
+
+        cfg = self._cfg()
+        _maybe_auto_severe(
+            cfg, NoiseConfig(rotation_noise_deg=5.0),
+            explicit_flags=frozenset(),
+        )
+        assert cfg.pose_opt.rotation_reg_weight == 0.0   # upgraded
+
+    def test_resolve_records_explicit_set(self):
+        import argparse
+
+        from robust_nerf_tpu.training.train_pose_opt import (
+            resolve_pose_opt_defaults,
+        )
+
+        args = argparse.Namespace(
+            severe_recovery=False, pose_lr=1e-4, pose_opt_delay=None,
+            rotation_reg_weight=None, translation_reg_weight=None,
+            freq_anneal_iters=None,
+        )
+        resolve_pose_opt_defaults(args)
+        assert args.pose_opt_explicit == frozenset({"pose_lr"})
+        assert args.pose_opt_delay == 1000   # filled from the preset
+
 
 class TestScanCap:
     def test_no_cap_on_cpu_or_mlp(self):

@@ -39,6 +39,21 @@ class TestCSVLogger:
             rows = list(csv.DictReader(f))
         assert {"iteration", "psnr", "ssim", "mse"} <= set(rows[0].keys())
 
+    def test_val_schema_ms_ssim_truly_appended(self, tmp_path):
+        """ms_ssim must come AFTER the reference's column prefix
+        (iteration,psnr,ssim,lpips,mse — noisy_src/logger.py:41-57) so
+        position-based consumers of the reference layout keep working."""
+        log = CSVLogger(tmp_path, flush_every=1)
+        log.log_val(ValidationMetrics(
+            iteration=100, psnr=20.0, ssim=0.8, lpips=0.1, mse=0.01,
+            ms_ssim=0.9,
+        ))
+        log.close()
+        with open(tmp_path / "val_metrics.csv") as f:
+            header = f.readline().strip().split(",")
+        assert header[:5] == ["iteration", "psnr", "ssim", "lpips", "mse"]
+        assert header[5] == "ms_ssim"
+
     def test_buffered_rows_all_written(self, tmp_path):
         log = CSVLogger(tmp_path, flush_every=50)
         for i in range(123):
