@@ -158,6 +158,13 @@ def main(argv=None):
                    help="use small values on CPU meshes (compile time)")
     p.add_argument("--use_pallas", type=str, default="auto",
                    choices=["auto", "on", "off"])
+    p.add_argument("--val_pose_refine", action="store_true",
+                   help="after training, register val cameras against the "
+                        "frozen scene (test-time pose refinement, "
+                        "evalx/pose_refine.py) and report "
+                        "val_psnr_refined; applied symmetrically to the "
+                        "--control run")
+    p.add_argument("--val_refine_iters", type=int, default=600)
     p.add_argument("--out", type=str, default=None,
                    help="also write the JSON line to this path")
     args = p.parse_args(argv)
@@ -235,9 +242,36 @@ def main(argv=None):
     val_gauge_poses = apply_sim3_inverse_to_poses(np.asarray(val.poses), xform)
     val_psnr_corrected = _val_psnr(state, val, cfg, jnp.asarray(val_gauge_poses))
 
+    def _refined_val_psnr(st, init_poses, tag):
+        """Test-time val-pose refinement (evalx/pose_refine.py): register
+        the val cameras against the FROZEN scene photometrically — the
+        standard BARF-family protocol for evaluating a scene whose gauge
+        (and residual per-camera wander) differs from the GT cameras. 6
+        DOF/camera cannot fake texture against H*W pixels; applied
+        SYMMETRICALLY to the recovered run and the control."""
+        from robust_nerf_tpu.evalx.pose_refine import refine_poses
+
+        models = jax.device_get(st.models)
+        refined, info = refine_poses(
+            models, cfg, np.asarray(init_poses), np.asarray(val.images),
+            val.H, val.W, val.focal, iters=args.val_refine_iters,
+            seed=args.seed,
+        )
+        psnr = _val_psnr(st, val, cfg, jnp.asarray(refined))
+        print(f"{tag}val-pose refine: loss {info['first_loss']:.2e} -> "
+              f"{info['final_loss']:.2e}, psnr {psnr:.2f}", file=sys.stderr)
+        return psnr
+
+    val_psnr_refined = None
+    if args.val_pose_refine:
+        # start from the gauge-corrected guesses: refinement is then a
+        # pure local registration
+        val_psnr_refined = _refined_val_psnr(state, val_gauge_poses, "")
+
     control_val_psnr = None
     control_rot_err = None
     control_wall = None
+    control_val_psnr_refined = None
     if args.control:
         print("--- clean-init control run ---", file=sys.stderr)
         cstate, cfinal, control_wall = _run_pose_opt(
@@ -246,6 +280,10 @@ def main(argv=None):
         cerrs = jax.device_get(pose_errors(jnp.asarray(cfinal), jnp.asarray(gt)))
         control_rot_err = float(cerrs["mean_rotation_error_deg"])
         control_val_psnr = _val_psnr(cstate, val, cfg, val.poses)
+        if args.val_pose_refine:
+            control_val_psnr_refined = _refined_val_psnr(
+                cstate, val.poses, "[control] "
+            )
 
     # per-camera distribution of the aligned errors: a stuck tail (a few
     # cameras in bad local minima) shows up as p90/max >> median
@@ -286,6 +324,8 @@ def main(argv=None):
             floor["mean_translation_error"]) / mean_cam_dist,
         "val_psnr_raw_protocol": val_psnr_raw,
         "val_psnr_gauge_corrected": val_psnr_corrected,
+        "val_psnr_refined": val_psnr_refined,
+        "control_val_psnr_refined": control_val_psnr_refined,
         "control_val_psnr": control_val_psnr,
         "control_rotation_error_deg": control_rot_err,
         "control_wall_time_s": (round(control_wall, 1)
@@ -308,6 +348,17 @@ def main(argv=None):
             bool(target_met_raw
                  and control_val_psnr - val_psnr_corrected <= 2.0)
             if control_val_psnr is not None else None
+        ),
+        # same criterion under the symmetric test-time val-pose-refinement
+        # protocol (both runs' val cameras registered against their own
+        # frozen scenes) — removes the val-camera-error term that the
+        # wander sweep (results/northstar_r5/wander_sweep.json) shows
+        # dominates the gap at this scene's PSNR ceiling
+        "target_met_full_refined": (
+            bool(target_met_raw
+                 and control_val_psnr_refined - val_psnr_refined <= 2.0)
+            if control_val_psnr_refined is not None
+            and val_psnr_refined is not None else None
         ),
         "gauge_note": (
             "raw = direct per-pose errors vs GT (reference definition); "

@@ -145,6 +145,36 @@ def run_one(args, name, kind, rot, trans, out_root: Path) -> dict:
                 "mean_rotation_error_deg_aligned"]
             row["final_trans_err_aligned"] = fe[
                 "mean_translation_error_aligned"]
+        # per-draw raw-error floor (NORTHSTAR.md semantics): the gauge
+        # component of the injected noise, from this run's saved
+        # {initial, ground_truth} pose bundle
+        fp = Path(summary.get("output_dir", out_root / name)) / "final_poses.npz"
+        if fp.exists():
+            import numpy as np
+
+            import jax
+            import jax.numpy as jnp
+
+            from robust_nerf_tpu.core.se3 import (
+                align_poses_umeyama,
+                apply_sim3_inverse_to_poses,
+                pose_errors,
+            )
+
+            bundle = np.load(fp)
+            init, gtp = bundle["initial"], bundle["ground_truth"]
+            _, xform = align_poses_umeyama(init, gtp)
+            floor_poses = apply_sim3_inverse_to_poses(gtp, xform)
+            fl = jax.device_get(
+                pose_errors(jnp.asarray(floor_poses), jnp.asarray(gtp))
+            )
+            cam_dist = float(
+                np.mean(np.linalg.norm(gtp[:, :3, 3], axis=-1))
+            )
+            row["floor_rot_err_deg"] = float(fl["mean_rotation_error_deg"])
+            row["floor_trans_err_pct"] = (
+                100.0 * float(fl["mean_translation_error"]) / cam_dist
+            )
     return row
 
 
@@ -165,18 +195,20 @@ def write_table(rows, out_root: Path):
         "~0.3 dB at the reference's 25 dB level costs >1 dB here. Judge "
         "no-harm by the pose error (<0.1 deg) and SSIM delta (<0.001).",
         "",
-        "| Experiment | PSNR (dB) | best | SSIM | rot err (deg) | aligned"
-        " | trans err | wall (s) | ref lego PSNR |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| Experiment | PSNR (dB) | best | SSIM | rot err raw (deg) | "
+        "aligned | floor | trans err | wall (s) | ref lego PSNR |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         rot = f"{r['final_rot_err_deg']:.3f}" if "final_rot_err_deg" in r else ""
         rota = (f"{r['final_rot_err_deg_aligned']:.3f}"
                 if "final_rot_err_deg_aligned" in r else "")
+        fl = (f"{r['floor_rot_err_deg']:.3f}"
+              if "floor_rot_err_deg" in r else "")
         te = f"{r['final_trans_err']:.4f}" if "final_trans_err" in r else ""
         lines.append(
             f"| {r['name']} | {r['final_psnr']:.2f} | {r['best_psnr']:.2f} "
-            f"| {r['final_ssim']:.4f} | {rot} | {rota} | {te} "
+            f"| {r['final_ssim']:.4f} | {rot} | {rota} | {fl} | {te} "
             f"| {r['wall_time_s']:.0f} | {r['reference_psnr']} |"
         )
     with open(out_root / "GRID.md", "w") as f:

@@ -3,15 +3,25 @@
 This is the fake-multi-chip substitute for a TPU pod (SURVEY.md §4): every
 sharding test runs against a real 8-device jax.sharding.Mesh backed by
 virtual CPU devices.
+
+Exception: ROBUST_NERF_TPU_TESTS=1 keeps the REAL chip visible for the
+`tpu`-marked on-chip suite (VERDICT r4 #7):
+
+    ROBUST_NERF_TPU_TESTS=1 python -m pytest -m tpu tests/
+
+Default runs deselect those tests (pytest.ini addopts) and force CPU.
 """
 
 import os
 
-# This container's sitecustomize registers the TPU PJRT plugin at
-# interpreter startup (PALLAS_AXON_POOL_IPS), so env vars alone are too
-# late here — switch the platform through jax.config and rebuild backends.
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
+_ON_CHIP = os.environ.get("ROBUST_NERF_TPU_TESTS") == "1"
+
+if not _ON_CHIP:
+    # This container's sitecustomize registers the TPU PJRT plugin at
+    # interpreter startup (PALLAS_AXON_POOL_IPS), so env vars alone are too
+    # late here — switch the platform through jax.config and rebuild backends.
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # "auto" compile-cache mode is disabled on the CPU backend these tests
 # force (utils/compile_cache.py), but keep any stray persistence out of
 # ~/.cache anyway so test runs stay hermetic.
@@ -20,19 +30,20 @@ os.environ.setdefault("ROBUST_NERF_COMPILE_CACHE", "/tmp/rn_test_xla_cache")
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-try:
-    import jax.extend.backend as _jeb
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    try:
+        import jax.extend.backend as _jeb
 
-    _jeb.clear_backends()
-except Exception:
-    pass
+        _jeb.clear_backends()
+    except Exception:
+        pass
 
-assert jax.default_backend() == "cpu", (
-    "tests must run on CPU; conftest failed to override the TPU plugin"
-)
-assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
+    assert jax.default_backend() == "cpu", (
+        "tests must run on CPU; conftest failed to override the TPU plugin"
+    )
+    assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")
