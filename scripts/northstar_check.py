@@ -331,6 +331,25 @@ def main(argv=None):
         "control_wall_time_s": (round(control_wall, 1)
                                 if control_wall is not None else None),
         "iters": args.iters,
+        # full recipe, so a headline number is always reproducible from
+        # its artifact alone (round-5 lesson: the round-4 headline's
+        # exact flags could not be reconstructed)
+        "recipe": {
+            "batch_size": args.batch_size,
+            "resolution": args.resolution,
+            "num_samples": args.num_samples,
+            "num_samples_fine": args.num_samples_fine,
+            "lr": cfg.train.lr,
+            "pose_lr": args.pose_lr,
+            "pose_opt_delay": args.pose_opt_delay,
+            "freq_anneal_iters": args.freq_anneal_iters,
+            "rotation_reg_weight": args.rotation_reg_weight,
+            "translation_reg_weight": args.translation_reg_weight,
+            "rotation_noise": args.rotation_noise,
+            "translation_noise_pct": args.translation_noise_pct,
+            "seed": args.seed,
+            "steps_per_scan": args.steps_per_scan,
+        },
         "wall_time_s": round(wall, 1),
         "num_devices": int(cfg.tpu.num_devices) or len(jax.devices()),
         "shard_bank": bool(args.shard_bank),
