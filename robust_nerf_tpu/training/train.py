@@ -293,6 +293,7 @@ def build_config_from_args(args) -> NeRFConfig:
         model=ModelConfig(
             sigma_activation=args.sigma_activation,
             architecture=args.architecture,
+            hash_impl=args.hash_impl,
             hash_levels=args.hash_levels,
             hash_features=args.hash_features,
             hash_log2_size=args.hash_log2_size,
@@ -381,6 +382,12 @@ def add_common_args(parser: argparse.ArgumentParser):
                         "frequency MLP; 'hashgrid' = TPU-native "
                         "multiresolution hash grid (models/hashgrid.py — "
                         "same PSNR in far fewer seconds; try --lr 1e-2)")
+    parser.add_argument("--hash_impl", type=str, default="packed",
+                        choices=["packed", "xor"],
+                        help="table indexing scheme: 'packed' = TPU-native "
+                        "lattice hash (one wide gather/scatter row per "
+                        "point per level; default), 'xor' = classic NGP "
+                        "XOR hash (pre-round-5 checkpoints)")
     parser.add_argument("--hash_levels", type=int, default=12)
     parser.add_argument("--hash_features", type=int, default=2)
     parser.add_argument("--hash_log2_size", type=int, default=17)
